@@ -1,0 +1,10 @@
+from captra_tpu.ops.pointops import (  # noqa: F401
+    ball_query,
+    farthest_point_sample,
+    gather_points,
+    group_points,
+    knn,
+    square_distance,
+    three_interpolate,
+    three_nn,
+)

@@ -1,0 +1,151 @@
+"""Point-cloud ops: FPS, ball query, kNN, 3-NN interpolation, gather/group.
+
+TPU-native equivalents of the reference CUDA extension
+(/root/reference/network/models/pointnet_lib/src/*.cu) whose executable spec
+is the pure-torch fallback path (/root/reference/network/models/
+pointnet_utils.py:12-168).  Everything here is fixed-shape, jittable and
+differentiable through XLA (gathers get scatter-add gradients for free — the
+reference hand-writes atomicAdd backward kernels, sampling_gpu.cu:45-62).
+
+A Pallas VMEM-resident FPS kernel lives in `captra_tpu.ops.fps_pallas`;
+`farthest_point_sample` dispatches to it on TPU for large inputs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared L2: src [B, N, C], dst [B, M, C] -> [B, N, M]
+    (reference pointnet_utils.py:56-77).  Uses one MXU matmul + rank-1 terms
+    instead of materializing [B, N, M, C] differences."""
+    d = -2.0 * (src @ jnp.swapaxes(dst, -1, -2))
+    d += jnp.sum(src**2, axis=-1, keepdims=True)
+    d += jnp.sum(dst**2, axis=-1)[..., None, :]
+    return d
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("npoint", "use_pallas"))
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
+                          use_pallas: bool | None = None) -> jnp.ndarray:
+    """Iterative max-min sampling: xyz [B, N, 3] -> indices [B, npoint].
+
+    Deterministic start at index 0 (the CUDA kernel's convention,
+    sampling_gpu.cu:92-253; the torch fallback randomizes —
+    pointnet_utils.py:129).  Invalid/padded points can be pushed to the end by
+    setting their coords to a far sentinel before calling.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from captra_tpu.ops.fps_pallas import fps_pallas
+        return fps_pallas(xyz, npoint)
+    return _fps_xla(xyz, npoint)
+
+
+def _fps_xla(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    B, N, _ = xyz.shape
+
+    def body(i, state):
+        dist, farthest, centroids = state
+        centroids = centroids.at[:, i].set(farthest)
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)
+        d = jnp.sum((xyz - centroid) ** 2, axis=-1)  # [B, N]
+        dist = jnp.minimum(dist, d)
+        farthest = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+        return dist, farthest, centroids
+
+    init = (jnp.full((B, N), 1e10, xyz.dtype),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, npoint), jnp.int32))
+    _, _, centroids = jax.lax.fori_loop(0, npoint, body, init)
+    return centroids
+
+
+# ---------------------------------------------------------------------------
+# neighborhood queries
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nsample",))
+def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
+               new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """First `nsample` in-radius neighbors in index order, slots padded with
+    the first hit: xyz [B, N, 3], new_xyz [B, S, 3] -> idx [B, S, nsample]
+    (reference pointnet_utils.py:141-168 / ball_query_gpu.cu:9-46; queries
+    with zero hits return index 0)."""
+    N = xyz.shape[1]
+    sqr = square_distance(new_xyz, xyz)  # [B, S, N]
+    in_ball = sqr <= radius * radius
+    order = jax.lax.broadcasted_iota(jnp.int32, sqr.shape, 2)
+    key = jnp.where(in_ball, order, N)  # out-of-ball -> sentinel N
+    # nsample smallest keys in ascending order == top_k of negated keys
+    neg_vals, _ = jax.lax.top_k(-key, nsample)
+    sel = -neg_vals  # [B, S, nsample], ascending; N where missing
+    first = sel[..., :1]
+    first = jnp.where(first < N, first, 0)
+    return jnp.where(sel < N, sel, first)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn(k: int, query: jnp.ndarray, data: jnp.ndarray):
+    """k nearest neighbors of `query` [B, S, 3] among `data` [B, N, 3]
+    -> (dists [B, S, k] L2, idx [B, S, k]) (reference knn_point,
+    pointnet_utils.py:12-32)."""
+    sqr = square_distance(query, data)
+    neg, idx = jax.lax.top_k(-sqr, k)
+    return jnp.sqrt(jnp.clip(-neg, 0.0, None)), idx
+
+
+@jax.jit
+def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    """3 nearest neighbors of xyz1 [B, N, 3] among xyz2 [B, M, 3]
+    -> (sq_dists [B, N, 3], idx [B, N, 3]); distances stay **squared**, as
+    both reference paths feed them to inverse-distance weights unrooted
+    (pointnet_utils.py:35-43, interpolate_gpu.cu:82-146)."""
+    sqr = square_distance(xyz1, xyz2)
+    neg, idx = jax.lax.top_k(-sqr, 3)
+    return -neg, idx
+
+
+@jax.jit
+def three_interpolate(points: jnp.ndarray, idx: jnp.ndarray,
+                      weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 3-NN feature interpolation: points [B, C, M], idx [B, N, 3],
+    weight [B, N, 3] -> [B, C, N] (reference pointnet_utils.py:46-53)."""
+    gathered = jnp.take_along_axis(points[:, :, None, :], idx[:, None, :, :],
+                                   axis=-1)  # [B, C, N, 3]
+    return jnp.sum(gathered * weight[:, None], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# gather / group
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def gather_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """features [B, C, N], idx [B, M] -> [B, C, M]
+    (reference gather_operation, pointnet_utils.py:100-103)."""
+    return jnp.take_along_axis(features, idx[:, None, :], axis=-1)
+
+
+@jax.jit
+def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """features [B, C, N], idx [B, M, K] -> [B, C, M, K]
+    (reference group_operation, pointnet_utils.py:106-109)."""
+    B, C, N = features.shape
+    M, K = idx.shape[1:]
+    flat = idx.reshape(B, 1, M * K)
+    out = jnp.take_along_axis(features, flat, axis=-1)
+    return out.reshape(B, C, M, K)
+
+
+def gather_xyz(xyz: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """xyz [B, N, 3], idx [B, M] -> [B, M, 3] (row-layout gather)."""
+    return jnp.take_along_axis(xyz, idx[..., None], axis=1)

@@ -1,0 +1,173 @@
+"""Kernel parity tests: XLA/Pallas point ops vs numpy ports of the reference
+torch fallbacks (/root/reference/network/models/pointnet_utils.py:12-168),
+which are the executable spec for the CUDA kernels (SURVEY.md §4.3)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from captra_tpu import ops
+
+
+# ---------------------------------------------------------------------------
+# numpy oracles (ports of the reference fallback algorithms)
+# ---------------------------------------------------------------------------
+
+def np_fps(xyz, npoint, start=0):
+    B, N, _ = xyz.shape
+    centroids = np.zeros((B, npoint), np.int64)
+    distance = np.full((B, N), 1e10)
+    farthest = np.full((B,), start, np.int64)
+    for i in range(npoint):
+        centroids[:, i] = farthest
+        centroid = xyz[np.arange(B), farthest][:, None]
+        dist = np.sum((xyz - centroid) ** 2, -1)
+        distance = np.minimum(distance, dist)
+        farthest = np.argmax(distance, -1)
+    return centroids
+
+
+def np_ball_query(radius, nsample, xyz, new_xyz):
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    sqrdists = np.sum((new_xyz[:, :, None] - xyz[:, None]) ** 2, -1)
+    group_idx = np.broadcast_to(np.arange(N), (B, S, N)).copy()
+    group_idx[sqrdists > radius**2] = N
+    group_idx = np.sort(group_idx, -1)[:, :, :nsample]
+    group_first = np.broadcast_to(group_idx[:, :, :1], group_idx.shape).copy()
+    group_first[group_first == N] = 0
+    mask = group_idx == N
+    group_idx[mask] = group_first[mask]
+    return group_idx
+
+
+def np_three_nn(xyz1, xyz2):
+    d = np.sum((xyz1[:, :, None] - xyz2[:, None]) ** 2, -1)
+    idx = np.argsort(d, -1)[:, :, :3]
+    dist = np.take_along_axis(d, idx, -1)
+    return dist, idx
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def test_square_distance(rng):
+    a = rng.randn(2, 30, 3).astype(np.float32)
+    b = rng.randn(2, 20, 3).astype(np.float32)
+    got = np.asarray(ops.square_distance(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sum((a[:, :, None] - b[:, None]) ** 2, -1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fps_matches_oracle(rng):
+    xyz = rng.randn(3, 256, 3).astype(np.float32)
+    got = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 64,
+                                               use_pallas=False))
+    want = np_fps(xyz, 64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_pallas_interpret_matches_xla(rng):
+    from captra_tpu.ops.fps_pallas import fps_pallas
+    xyz = rng.randn(2, 256, 3).astype(np.float32)
+    want = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 32,
+                                                use_pallas=False))
+    got = np.asarray(fps_pallas(jnp.asarray(xyz), 32, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_spreads_points():
+    # A cloud with 4 well-separated clusters: FPS(4) must hit all of them.
+    centers = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0], [0, 0, 10]],
+                       np.float32)
+    rng = np.random.RandomState(1)
+    pts = np.concatenate(
+        [c + rng.randn(50, 3).astype(np.float32) * 0.1 for c in centers])
+    idx = np.asarray(ops.farthest_point_sample(jnp.asarray(pts[None]), 4,
+                                               use_pallas=False))[0]
+    clusters = set(idx // 50)
+    assert clusters == {0, 1, 2, 3}
+
+
+def test_ball_query_matches_oracle(rng):
+    xyz = rng.rand(2, 128, 3).astype(np.float32)
+    new_xyz = xyz[:, :16]
+    got = np.asarray(ops.ball_query(0.2, 8, jnp.asarray(xyz),
+                                    jnp.asarray(new_xyz)))
+    want = np_ball_query(0.2, 8, xyz, new_xyz)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_no_hits():
+    xyz = jnp.ones((1, 16, 3)) * 100.0
+    new_xyz = jnp.zeros((1, 2, 3))
+    got = np.asarray(ops.ball_query(0.1, 4, xyz, new_xyz))
+    np.testing.assert_array_equal(got, 0)  # reference pads misses with 0
+
+
+def test_knn(rng):
+    xyz = rng.randn(2, 64, 3).astype(np.float32)
+    q = rng.randn(2, 10, 3).astype(np.float32)
+    d, idx = ops.knn(4, jnp.asarray(q), jnp.asarray(xyz))
+    sq = np.sum((q[:, :, None] - xyz[:, None]) ** 2, -1)
+    want_idx = np.argsort(sq, -1)[:, :, :4]
+    want_d = np.sqrt(np.take_along_axis(sq, want_idx, -1))
+    np.testing.assert_allclose(np.sort(np.asarray(d), -1),
+                               np.sort(want_d, -1), atol=1e-3)
+    # index sets must agree (ties aside)
+    assert (np.sort(np.asarray(idx), -1) == np.sort(want_idx, -1)).mean() > 0.99
+
+
+def test_three_nn_matches_oracle(rng):
+    xyz1 = rng.randn(2, 40, 3).astype(np.float32)
+    xyz2 = rng.randn(2, 12, 3).astype(np.float32)
+    d, idx = ops.three_nn(jnp.asarray(xyz1), jnp.asarray(xyz2))
+    want_d, want_idx = np_three_nn(xyz1, xyz2)
+    np.testing.assert_allclose(np.asarray(d), want_d, atol=1e-4)
+    np.testing.assert_array_equal(np.sort(np.asarray(idx), -1),
+                                  np.sort(want_idx, -1))
+
+
+def test_three_interpolate(rng):
+    B, C, M, N = 2, 5, 8, 20
+    points = rng.randn(B, C, M).astype(np.float32)
+    idx = rng.randint(0, M, (B, N, 3))
+    w = rng.rand(B, N, 3).astype(np.float32)
+    got = np.asarray(ops.three_interpolate(jnp.asarray(points),
+                                           jnp.asarray(idx), jnp.asarray(w)))
+    want = np.zeros((B, C, N), np.float32)
+    for b in range(B):
+        for n in range(N):
+            for j in range(3):
+                want[b, :, n] += points[b, :, idx[b, n, j]] * w[b, n, j]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_gather_group(rng):
+    feats = rng.randn(2, 4, 32).astype(np.float32)
+    idx = rng.randint(0, 32, (2, 8))
+    got = np.asarray(ops.gather_points(jnp.asarray(feats), jnp.asarray(idx)))
+    for b in range(2):
+        np.testing.assert_allclose(got[b], feats[b][:, idx[b]])
+
+    gidx = rng.randint(0, 32, (2, 8, 5))
+    got = np.asarray(ops.group_points(jnp.asarray(feats), jnp.asarray(gidx)))
+    for b in range(2):
+        np.testing.assert_allclose(got[b], feats[b][:, gidx[b]])
+
+
+def test_ops_differentiable(rng):
+    import jax
+    feats = jnp.asarray(rng.randn(1, 3, 16).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 16, (1, 4, 2)))
+
+    def f(x):
+        return jnp.sum(ops.group_points(x, idx) ** 2)
+
+    g = jax.grad(f)(feats)
+    assert np.isfinite(np.asarray(g)).all()
+    # scatter-add gradient: each index occurrence contributes
+    counts = np.zeros(16)
+    for i in np.asarray(idx).ravel():
+        counts[i] += 1
+    assert (np.asarray(jnp.abs(g).sum(axis=1))[0] > 0).sum() == (counts > 0).sum()
