@@ -1,0 +1,169 @@
+"""3-level YAML config loader with slash-path CLI overrides.
+
+Mirrors /root/reference/configs/config.py:8-71: an experiment YAML names an
+object YAML and pointnet YAML(s); CLI args like `--pose_perturb/r=3.0`
+override nested keys; derived fields (num_parts, tree, sym, ...) are filled
+from the object entry.  The result is folded into the typed `Config`.
+"""
+from __future__ import annotations
+
+import os
+from os.path import join as pjoin
+from typing import Any, Mapping
+
+import yaml
+
+from captra_tpu.config.schema import (
+    Config, NetworkCfg, ObjCfg, OptimCfg, PerturbCfg, PointNetCfg, SAMsgCfg,
+    TrackCfg, frozen_map, tuplify,
+)
+
+DEFAULTS_DIR = pjoin(os.path.dirname(__file__), "defaults")
+
+
+def overwrite_config(cfg: dict, key_path: list[str], value) -> None:
+    """Set a nested key addressed by a '/'-split path (reference
+    overwrite_config, config.py:8-18)."""
+    cur = key_path[0]
+    if len(key_path) == 1:
+        cfg[cur] = value
+    else:
+        cfg.setdefault(cur, {})
+        overwrite_config(cfg[cur], key_path[1:], value)
+
+
+def _load_yaml(path: str) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _resolve(name: str, subdir: str, base_dir: str | None) -> str:
+    """Find a config file: absolute, relative to base_dir, or bundled."""
+    if os.path.isabs(name) and os.path.exists(name):
+        return name
+    if base_dir:
+        cand = pjoin(base_dir, subdir, name)
+        if os.path.exists(cand):
+            return cand
+        cand = pjoin(base_dir, name)
+        if os.path.exists(cand):
+            return cand
+    return pjoin(DEFAULTS_DIR, subdir, name)
+
+
+def load_obj_config(obj_yaml: str, category: str,
+                    base_dir: str | None = None) -> ObjCfg:
+    raw = _load_yaml(_resolve(obj_yaml, "obj_config", base_dir))
+    entry = raw[category]
+    return ObjCfg(
+        category=str(category),
+        name=entry.get("name", str(category)),
+        num_parts=int(entry["num_parts"]),
+        num_joints=int(entry["num_joints"]),
+        tree=tuplify(entry["tree"]),
+        sym=bool(entry.get("sym", False)),
+        joint_type=entry.get("type", "revolute"),
+        main_axis=tuplify(entry.get("main_axis", []) or []),
+        extra_dims=int(raw.get("extra_dims", 0)),
+        num_frames=int(raw.get("num_frames", 100)),
+        synthetic=bool(raw.get("synthetic", True)),
+        nocs_data=bool(raw.get("nocs_data", False)),
+        bad_ins=tuplify(entry.get("bad_ins", []) or []),
+        test_list=tuplify(entry.get("test_list", []) or []),
+        train_list=tuplify(entry.get("train_list", []) or []),
+        basepath=raw.get("basepath", ""),
+    )
+
+
+def _pointnet_from_yaml(raw: Mapping) -> PointNetCfg:
+    def sa(entry):
+        return SAMsgCfg(npoint=int(entry["npoint"]),
+                        radius_list=tuplify(entry["radius_list"]),
+                        nsample_list=tuplify(entry["nsample_list"]),
+                        mlp_list=tuplify(entry["mlp_list"]))
+
+    return PointNetCfg(
+        sa1=sa(raw["sa1"]), sa2=sa(raw["sa2"]),
+        sa3_mlp=tuplify(raw["sa3"]["mlp"]),
+        fp3_mlp=tuplify(raw["fp3"]["mlp"]),
+        fp2_mlp=tuplify(raw["fp2"]["mlp"]),
+        fp1_mlp=tuplify(raw["fp1"]["mlp"]),
+    )
+
+
+def get_config(config: str = "config_track.yml",
+               overrides: Mapping[str, Any] | None = None,
+               base_dir: str | None = None) -> Config:
+    """Load an experiment config by file name.
+
+    overrides: flat mapping of slash paths to values, e.g.
+      {"obj_category": "bottle", "pose_perturb/r": 3.0}.
+    """
+    raw = _load_yaml(_resolve(config, "all_config", base_dir))
+    for key, value in (overrides or {}).items():
+        if value is not None:
+            overwrite_config(raw, key.split("/"), value)
+
+    obj = load_obj_config(raw.get("obj_config", "obj_info_sapien.yml"),
+                          str(raw.get("obj_category", "laptop")), base_dir)
+
+    pn_name = raw.get("pointnet_cfg", {}).get("camera", "pointnet2_camera.yml")
+    pointnet = _pointnet_from_yaml(
+        _load_yaml(_resolve(pn_name, "pointnet_config", base_dir)))
+
+    net_raw = raw.get("network", {})
+    network = NetworkCfg(
+        type=net_raw.get("type", "rot_coord_track"),
+        backbone_out_dim=int(net_raw.get("backbone_out_dim", 128)),
+        nocs_head_dims=tuplify(net_raw.get("nocs_head_dims", [128])),
+        pwm_num=int(net_raw.get("pwm_num", 128)),
+    )
+
+    pp = raw.get("pose_perturb", {})
+    perturb = PerturbCfg(kind=pp.get("type", "normal"),
+                         s=float(pp.get("s", 0.02)),
+                         r=float(pp.get("r", 5.0)),
+                         t=float(pp.get("t", 0.03)))
+
+    tc = raw.get("track_cfg", {}) or {}
+    track = TrackCfg(
+        gt_label=bool(tc.get("gt_label", False)),
+        nocs2d_label=bool(tc.get("nocs2d_label", False)),
+        nocs2d_path=str(tc.get("nocs2d_path") or ""),
+        init_frame_gt=bool((raw.get("init_frame", {}) or {}).get("gt", False)),
+        nocs_otf=bool(raw.get("nocs_otf", False)),
+    )
+
+    optim = OptimCfg(
+        optimizer=str(raw.get("optimizer", "Adam")).lower(),
+        learning_rate=float(raw.get("learning_rate", 1e-3)),
+        weight_decay=float(raw.get("weight_decay", 1e-4)),
+        lr_policy=raw.get("lr_policy", "step"),
+        lr_gamma=float(raw.get("lr_gamma", 0.5)),
+        lr_step_size=int(raw.get("lr_step_size", 20)),
+        lr_clip=float(raw.get("lr_clip", 1e-5)),
+        bn_momentum_original=float(raw.get("momentum_original", 0.1)),
+        bn_momentum_decay=float(raw.get("momentum_decay", 0.5)),
+        bn_momentum_step_size=int(raw.get("momentum_step_size", 20)),
+        bn_momentum_min=float(raw.get("momentum_min", 0.01)),
+        weight_init=raw.get("weight_init", "xavier"),
+        batch_size=int(raw.get("batch_size", 12)),
+        total_epoch=int(raw.get("total_epoch", 250)),
+    )
+
+    coord_exp = raw.get("coord_exp", {}) or {}
+    return Config(
+        obj=obj, network=network, pointnet=pointnet, perturb=perturb,
+        track=track, optim=optim,
+        num_points=int(raw.get("num_points", 4096)),
+        data_radius=float(raw.get("data_radius", 0.6)),
+        experiment_dir=str(raw.get("experiment_dir", "runs/exp_tmp")),
+        coord_exp_dir=str(coord_exp.get("dir") or ""),
+        coord_resume_epoch=int(coord_exp.get("resume_epoch", -1) or -1),
+        dataset_length=raw.get("dataset_length"),
+        batch_size=int(raw.get("batch_size", 12)),
+        loss_weight=frozen_map({k: float(v) for k, v in
+                                raw.get("loss_weight", {}).items()}),
+        pose_loss_type=frozen_map(dict(raw.get("pose_loss_type", {
+            "r": "frob", "s": "l1", "t": "l1", "point": "l1"}))),
+    )

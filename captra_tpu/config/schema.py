@@ -1,0 +1,172 @@
+"""Typed experiment configuration.
+
+Mirrors the reference's 3-level YAML config (experiment / object / pointnet —
+/root/reference/configs/config.py:21-71) as frozen dataclasses: hashable, so
+they ride along as static args under `jit`, and every derived field
+(`num_parts`, `tree`, `sym`, ...) is resolved once at load time.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+
+@dataclass(frozen=True)
+class SAMsgCfg:
+    """One multi-scale-grouping set-abstraction stage
+    (reference pointnet2_camera.yml sa1/sa2)."""
+    npoint: int
+    radius_list: tuple[float, ...]
+    nsample_list: tuple[int, ...]
+    mlp_list: tuple[tuple[int, ...], ...]
+
+
+@dataclass(frozen=True)
+class PointNetCfg:
+    """PointNet++ MSG hyperparameters (reference
+    configs/pointnet_config/pointnet2_camera.yml)."""
+    sa1: SAMsgCfg = SAMsgCfg(
+        npoint=512,
+        radius_list=(0.05, 0.1, 0.2),
+        nsample_list=(32, 64, 128),
+        mlp_list=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+    )
+    sa2: SAMsgCfg = SAMsgCfg(
+        npoint=128,
+        radius_list=(0.2, 0.4),
+        nsample_list=(64, 128),
+        mlp_list=((128, 128, 256), (128, 196, 256)),
+    )
+    sa3_mlp: tuple[int, ...] = (256, 512, 1024)
+    fp3_mlp: tuple[int, ...] = (256, 256)
+    fp2_mlp: tuple[int, ...] = (256, 128)
+    fp1_mlp: tuple[int, ...] = (128, 128)
+
+
+@dataclass(frozen=True)
+class ObjCfg:
+    """Object-category config (reference configs/obj_config/*.yml)."""
+    category: str = "laptop"
+    name: str = "laptop"
+    num_parts: int = 2
+    num_joints: int = 1
+    tree: tuple[int, ...] = (-1, 0)
+    sym: bool = False
+    joint_type: str = "revolute"          # revolute | prismatic
+    main_axis: tuple[int, ...] = (0,)
+    extra_dims: int = 0                   # 1 for NOCS (background channel)
+    num_frames: int = 100
+    synthetic: bool = True
+    nocs_data: bool = False
+    bad_ins: tuple[str, ...] = ()
+    test_list: tuple[str, ...] = ()
+    train_list: tuple[str, ...] = ()
+    basepath: str = ""
+
+    @property
+    def root(self) -> int:
+        return [i for i, p in enumerate(self.tree) if p == -1][0]
+
+    @property
+    def num_seg(self) -> int:
+        return self.num_parts + self.extra_dims
+
+
+@dataclass(frozen=True)
+class NetworkCfg:
+    """Network options (reference config_*.yml `network:` block)."""
+    type: str = "rot_coord_track"  # canon_coord | rot | rot_coord_track
+    backbone_out_dim: int = 128
+    nocs_head_dims: tuple[int, ...] = (128,)
+    pwm_num: int = 128
+
+
+@dataclass(frozen=True)
+class PerturbCfg:
+    """Pose perturbation for init-frame noise / augmentation
+    (reference config_*.yml `pose_perturb:`; r in degrees)."""
+    kind: str = "normal"
+    s: float = 0.02
+    r: float = 5.0
+    t: float = 0.03
+
+
+@dataclass(frozen=True)
+class TrackCfg:
+    gt_label: bool = False
+    nocs2d_label: bool = False
+    nocs2d_path: str = ""
+    init_frame_gt: bool = False
+    nocs_otf: bool = False
+
+
+@dataclass(frozen=True)
+class OptimCfg:
+    """Optimizer + schedules (reference config_*.yml optimization block)."""
+    optimizer: str = "adam"
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    lr_policy: str = "step"
+    lr_gamma: float = 0.5
+    lr_step_size: int = 20
+    lr_clip: float = 1e-5
+    # BN momentum schedule (torch convention: running += m * batch;
+    # reference trainer.py:135-145)
+    bn_momentum_original: float = 0.1
+    bn_momentum_decay: float = 0.5
+    bn_momentum_step_size: int = 20
+    bn_momentum_min: float = 0.01
+    weight_init: str = "xavier"
+    batch_size: int = 12
+    total_epoch: int = 250
+
+
+@dataclass(frozen=True)
+class Config:
+    obj: ObjCfg = ObjCfg()
+    network: NetworkCfg = NetworkCfg()
+    pointnet: PointNetCfg = PointNetCfg()
+    perturb: PerturbCfg = PerturbCfg()
+    track: TrackCfg = TrackCfg()
+    optim: OptimCfg = OptimCfg()
+    num_points: int = 4096
+    data_radius: float = 0.6
+    experiment_dir: str = "runs/exp_tmp"
+    coord_exp_dir: str = ""
+    coord_resume_epoch: int = -1
+    dataset_length: int | None = None
+    batch_size: int = 12
+    loss_weight: Mapping[str, float] = field(default_factory=lambda: _frozen({
+        "rloss": 20.0, "tloss": 5.0, "sloss": 5.0, "corner_loss": 20.0,
+        "nocs_loss": 5.0, "seg_loss": 3.0, "nocs_dist_loss": 2.5,
+        "nocs_pwm_loss": 2.5,
+    }))
+    pose_loss_type: Mapping[str, str] = field(default_factory=lambda: _frozen({
+        "r": "frob", "s": "l1", "t": "l1", "point": "l1"}))
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+class _frozen(dict):
+    """Hashable immutable mapping so Config stays usable as a static arg."""
+
+    def __hash__(self):
+        return hash(tuple(sorted(self.items())))
+
+    def _blocked(self, *a, **k):
+        raise TypeError("frozen mapping")
+
+    __setitem__ = __delitem__ = update = pop = popitem = clear = _blocked
+
+
+def frozen_map(d: Mapping) -> Mapping:
+    return _frozen(d)
+
+
+def tuplify(x):
+    """Recursively convert lists (from YAML) to tuples for hashability."""
+    if isinstance(x, (list, tuple)):
+        return tuple(tuplify(v) for v in x)
+    return x

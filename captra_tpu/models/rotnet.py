@@ -1,0 +1,132 @@
+"""RotationNet: per-part rotation-delta regression + pose composition.
+
+Functional spec: /root/reference/network/models/networks.py:113-240 and
+blocks.py:168-193.  TPU-first redesign of the reference's replicate-and-diag
+trick: the reference tiles the batch to B*P, applies *all* P heads to every
+tile and keeps the diagonal (networks.py:179-203) — P x wasted head compute.
+Here the encoder runs on the flattened [B*P] batch (one big MXU matmul), and
+the P heads are a single head `nn.vmap`-ed over the part axis with per-part
+parameters, applied only to their own part's features.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from captra_tpu.config.schema import Config
+from captra_tpu.models.backbone import PointNet2Msg
+from captra_tpu.models.blocks import PointMLP
+from captra_tpu.pose import rotations as rot
+from captra_tpu.pose.part_dof import (
+    Pose, inverse_apply_pose, merge_delta_pose,
+)
+from captra_tpu.pose.pose_fit import labels_to_part_mask, part_fit_st
+
+
+class RotationRegressor(nn.Module):
+    """Per-part rotation heads: MLP [512, 512, 256] -> 6D (or 3D if sym),
+    GroupNorm(group size 2) on hidden layers (reference RotationRegressor,
+    blocks.py:168-193).  One head per part via nn.vmap with split params."""
+    num_parts: int
+    sym: bool
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
+        # feat: [B, P, N, C]; head p sees feat[:, p]
+        rot_dim = 3 if self.sym else 6
+        head = nn.vmap(
+            PointMLP,
+            in_axes=1, out_axes=1,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+        )
+        raw = head((512, 512, 256, rot_dim), norm="gn", final_acti="none",
+                   name="heads")(feat)  # [B, P, N, rot_dim]
+        if self.sym:
+            return rot.normalize_vector(raw)  # unit y-vec per point
+        R = rot.ortho6d_to_matrix(raw)  # [B, P, N, 3, 3]
+        return R.reshape(R.shape[:-2] + (9,))
+
+
+class RotNet(nn.Module):
+    """Encoder over per-part canonicalized clouds + per-part heads + masked
+    mean (reference RotationRegressionBackbone, networks.py:113-141).
+
+    Input: per-part canonical points [B, P, N, 3] and labels [B, N].
+    Output dict:
+      rtvec:       [B, P, 9|3]  masked-mean rotation rep (defaults for empty)
+      point_rtvec: [B, P, N, 9|3] per-point reps (for the per-point loss)
+    """
+    cfg: Config
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, canon_parts: jnp.ndarray, labels: jnp.ndarray,
+                 train: bool = False):
+        B, P, N, _ = canon_parts.shape
+        obj = self.cfg.obj
+        flat = canon_parts.reshape(B * P, N, 3)
+        feat = PointNet2Msg(self.cfg.pointnet,
+                            self.cfg.network.backbone_out_dim,
+                            use_xyz_feat=False, bn_momentum=self.bn_momentum,
+                            name="encoder")(flat, train=train)
+        feat = feat.reshape(B, P, N, -1)
+        point_rtvec = RotationRegressor(obj.num_parts, obj.sym,
+                                        name="regressor")(feat)
+
+        # masked mean over in-part points (networks.py:127-138)
+        mask = labels_to_part_mask(labels, obj.num_parts)  # [B, P, N]
+        denom = jnp.clip(jnp.sum(mask, axis=-1, keepdims=True), 1.0, None)
+        mean = jnp.sum(point_rtvec * mask[..., None], axis=-2) / denom
+        valid = (jnp.sum(mask, axis=-1, keepdims=True) > 0)
+        default = (jnp.asarray([0.0, 1.0, 0.0]) if obj.sym
+                   else jnp.eye(3).reshape(9))
+        mean = jnp.where(valid, mean, default)
+        return {"rtvec": mean, "point_rtvec": point_rtvec}
+
+
+def canonicalize_per_part(points: jnp.ndarray, points_mean: jnp.ndarray,
+                          state: Pose) -> jnp.ndarray:
+    """Centered camera points [B, N, 3] + mean [B, 3] -> per-part canonical
+    clouds [B, P, N, 3] under the per-part poses `state` [B, P]
+    (reference networks.py:179-187)."""
+    cam = points + points_mean[:, None]  # [B, N, 3]
+    return inverse_apply_pose(state, cam[:, None])
+
+
+def decode_rotation(out: dict, sym: bool):
+    """Network output -> (delta R [B, P, 3, 3], per-point R [B, P, N, 3, 3])
+    (reference networks.py:191-198 + part_dof_utils.py:137-141)."""
+    if sym:
+        delta = rot.yvec_to_matrix(out["rtvec"])
+        point = rot.yvec_to_matrix(out["point_rtvec"])
+    else:
+        delta = rot.gram_schmidt_3x3(
+            out["rtvec"].reshape(out["rtvec"].shape[:-1] + (3, 3)))
+        pr = out["point_rtvec"]
+        point = rot.gram_schmidt_3x3(pr.reshape(pr.shape[:-1] + (3, 3)))
+    return delta, point
+
+
+def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
+                       labels: jnp.ndarray, pred_nocs: jnp.ndarray,
+                       points: jnp.ndarray, points_mean: jnp.ndarray,
+                       num_parts: int, sym: bool) -> Pose:
+    """Tracking-mode pose update (reference networks.py:210-232):
+    R_new = R_state @ R_delta, then fit s/t from predicted NPCS with validity
+    fallback to the previous pose.
+
+    pred_nocs: [B, P, N, 3]; labels: [B, N] (predicted seg at test time).
+    """
+    merged = merge_delta_pose(state, delta_rotation=delta_rotation)
+    cam = (points + points_mean[:, None])[:, None]  # [B, 1, N, 3]
+    cam = jnp.broadcast_to(cam, pred_nocs.shape)
+    fitted, valid = part_fit_st(labels, pred_nocs, cam, merged.rotation,
+                                num_parts=num_parts, sym=sym)
+    vf = valid.astype(jnp.float32)
+    scale = vf * fitted.scale + (1.0 - vf) * state.scale
+    v3 = vf[..., None, None]
+    translation = v3 * fitted.translation + (1.0 - v3) * state.translation
+    return Pose(rotation=merged.rotation, translation=translation,
+                scale=scale)

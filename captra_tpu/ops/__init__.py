@@ -2,6 +2,7 @@ from captra_tpu.ops.pointops import (  # noqa: F401
     ball_query,
     farthest_point_sample,
     gather_points,
+    gather_xyz,
     group_points,
     knn,
     square_distance,
