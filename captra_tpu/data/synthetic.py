@@ -1,0 +1,168 @@
+"""Synthetic trajectory generator for tests, benchmarks and smoke training.
+
+Produces CAPTRA-shaped data without the NOCS/SAPIEN corpora: per-part NPCS
+point clouds on box-ish shells, smooth per-frame 9-DoF pose trajectories
+(articulated parts get joint motion consistent with the kinematic tree and
+joint type), and observed camera clouds = posed NPCS + sensor noise.
+
+This mirrors what the offline preprocessing pipeline emits per frame
+(reference datasets/nocs_data/nocs_data_process.py:43-50: {points, labels,
+nocs, pose}), so every downstream component sees the real shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captra_tpu.config.schema import ObjCfg
+from captra_tpu.pose import rotations as rot
+from captra_tpu.pose.part_dof import Pose, apply_pose, tree_root
+
+
+@dataclass
+class Trajectory:
+    """T frames of a tracked object (all numpy, host-side).
+
+    points: [T, N, 3] camera-space cloud (NOT centered)
+    labels: [T, N] int in [0, P) (+P for background if with_background)
+    nocs:   [T, N, 3] GT NPCS of each point (own part)
+    pose:   Pose with leading dims [T, P]
+    corners:[P, 2, 3] NPCS part bounds
+    """
+    points: np.ndarray
+    labels: np.ndarray
+    nocs: np.ndarray
+    pose: Pose
+    corners: np.ndarray
+
+
+def _part_shell(rng: np.random.RandomState, n: int, size: np.ndarray):
+    """Points on the surface of a box of half-extent `size` (so rotation is
+    observable, unlike a solid Gaussian blob)."""
+    face = rng.randint(0, 6, n)
+    uv = rng.uniform(-1, 1, (n, 2))
+    pts = np.zeros((n, 3), np.float32)
+    axis, sign = face % 3, (face // 3) * 2 - 1
+    for i in range(n):
+        a = axis[i]
+        others = [d for d in range(3) if d != a]
+        pts[i, a] = sign[i]
+        pts[i, others[0]], pts[i, others[1]] = uv[i]
+    return pts * size
+
+
+def make_trajectory(seed: int, obj: ObjCfg, num_frames: int = 30,
+                    num_points: int = 1024, noise: float = 0.002,
+                    scale_range=(0.15, 0.3), with_background: bool = False,
+                    motion_rad: float = 0.03, motion_trans: float = 0.01,
+                    ) -> Trajectory:
+    """Deterministic synthetic trajectory for a category config."""
+    rng = np.random.RandomState(seed)
+    P = obj.num_parts
+    root = tree_root(obj.tree)
+
+    # per-part NPCS geometry: disjoint boxes stacked along x
+    sizes = rng.uniform(0.08, 0.18, (P, 3)).astype(np.float32)
+    offsets = np.zeros((P, 3), np.float32)
+    for p in range(P):
+        offsets[p, 0] = (p - (P - 1) / 2) * 0.25
+    n_per = num_points // P
+    npcs_parts, labels_parts = [], []
+    for p in range(P):
+        pts = _part_shell(rng, n_per, sizes[p]) + offsets[p]
+        npcs_parts.append(pts)
+        labels_parts.append(np.full(n_per, p, np.int64))
+    rest = num_points - n_per * P
+    if rest:
+        npcs_parts.append(_part_shell(rng, rest, sizes[0]) + offsets[0])
+        labels_parts.append(np.full(rest, 0, np.int64))
+    npcs = np.concatenate(npcs_parts).astype(np.float32)  # [N, 3]
+    labels = np.concatenate(labels_parts)
+
+    corners = np.stack([offsets - sizes, offsets + sizes], axis=1)  # [P,2,3]
+
+    # global trajectory: root pose drifts smoothly; child parts follow the
+    # root with extra joint motion (revolute about main_axis through the
+    # joint anchor, or prismatic along it)
+    scale = rng.uniform(*scale_range)
+    base_R = _random_rotation(rng)
+    base_t = rng.uniform(-0.1, 0.1, 3).astype(np.float32) + np.array(
+        [0, 0, 0.8], np.float32)
+
+    key_T = num_frames
+    Rs = np.zeros((key_T, P, 3, 3), np.float32)
+    ts = np.zeros((key_T, P, 3, 1), np.float32)
+    ss = np.full((key_T, P), scale, np.float32)
+
+    # random but smooth increments
+    axis = rng.randn(3).astype(np.float32)
+    axis /= np.linalg.norm(axis)
+    dtrans = rng.randn(3).astype(np.float32)
+    dtrans = dtrans / np.linalg.norm(dtrans) * motion_trans
+
+    joint_state = np.zeros(P, np.float32)
+    djoint = rng.uniform(0.2, 1.0, P).astype(np.float32) * 0.03
+
+    R_cur, t_cur = base_R.copy(), base_t.copy()
+    for f in range(key_T):
+        R_cur = _axis_angle(axis, motion_rad) @ R_cur
+        t_cur = t_cur + dtrans
+        for p in range(P):
+            if p == root or obj.num_joints == 0:
+                Rs[f, p], ts[f, p, :, 0] = R_cur, t_cur
+            else:
+                # joint motion in NPCS frame, then global pose
+                jidx = min(p, len(obj.main_axis) - 1) if obj.main_axis else 0
+                ax = np.zeros(3, np.float32)
+                ax[obj.main_axis[jidx] if obj.main_axis else 1] = 1.0
+                theta = joint_state[p] + f * djoint[p]
+                if obj.joint_type == "prismatic":
+                    R_local = np.eye(3, dtype=np.float32)
+                    t_local = ax * theta * 0.3
+                else:
+                    R_local = _axis_angle(ax, theta)
+                    t_local = (np.eye(3) - R_local) @ offsets[p]
+                Rs[f, p] = R_cur @ R_local
+                ts[f, p, :, 0] = (scale * (R_cur @ t_local) + t_cur)
+
+    pose = Pose(rotation=jnp.asarray(Rs), translation=jnp.asarray(ts),
+                scale=jnp.asarray(ss))
+
+    # observed clouds: pose own part's NPCS + noise
+    npcs_per_part = np.broadcast_to(npcs[None, None], (key_T, P) + npcs.shape)
+    posed = np.asarray(apply_pose(pose, jnp.asarray(npcs_per_part)))
+    sel = posed[np.arange(key_T)[:, None], labels[None, :],
+                np.arange(npcs.shape[0])[None, :]]  # [T, N, 3]
+    points = sel + rng.randn(*sel.shape).astype(np.float32) * noise
+
+    labels_t = np.broadcast_to(labels, (key_T, labels.shape[0])).copy()
+    nocs_t = np.broadcast_to(npcs, (key_T,) + npcs.shape).copy()
+    return Trajectory(points=points.astype(np.float32), labels=labels_t,
+                      nocs=nocs_t, pose=pose, corners=corners)
+
+
+def _random_rotation(rng) -> np.ndarray:
+    q = rng.randn(4)
+    q /= np.linalg.norm(q)
+    return np.asarray(rot.quat_to_matrix(jnp.asarray(q)), dtype=np.float32)
+
+
+def _axis_angle(axis, theta) -> np.ndarray:
+    return np.asarray(rot.axis_theta_to_matrix(
+        jnp.asarray(axis, dtype=jnp.float32)[None],
+        jnp.asarray([theta], dtype=jnp.float32))[0], dtype=np.float32)
+
+
+def batch_trajectories(trajs: list[Trajectory]):
+    """Stack B same-shape trajectories into batched arrays [T, B, ...]."""
+    points = jnp.stack([t.points for t in trajs], axis=1)
+    labels = jnp.stack([jnp.asarray(t.labels) for t in trajs], axis=1)
+    nocs = jnp.stack([jnp.asarray(t.nocs) for t in trajs], axis=1)
+    pose = jax.tree.map(lambda *x: jnp.stack(x, axis=1),
+                        *[t.pose for t in trajs])
+    corners = jnp.stack([jnp.asarray(t.corners) for t in trajs])
+    return {"points": points, "labels": labels, "nocs": nocs, "pose": pose,
+            "corners": corners}

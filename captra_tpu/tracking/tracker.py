@@ -1,0 +1,110 @@
+"""Frame-recurrent tracking loop as a single jitted `lax.scan`.
+
+Functional spec: /root/reference/network/models/model.py:309-601
+(EvalTrackModel.forward).  The reference iterates frames in Python with
+GPU<->CPU round-trips per frame (OTF crop at model.py:426-447, sym-SVD on
+CPU); here one scan step = CoordNet + RotationNet + analytic s/t fit, all on
+device, and a whole trajectory compiles to one XLA while-loop.  Batch `B`
+trajectories track in parallel; the scan carry is the per-part `Pose`.
+
+The step is parameterized by two apply functions so tests can substitute
+oracle predictors:
+    coord_fn(canon_points [B,N,3]) -> {"seg": [B,N,S], "nocs": [B,N,3P]}
+    rot_fn(canon_parts [B,P,N,3], labels [B,N]) -> {"rtvec", "point_rtvec"}
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from captra_tpu.config.schema import Config
+from captra_tpu.models.coordnet import canonicalize
+from captra_tpu.models.rotnet import (
+    canonicalize_per_part, compose_track_pose, decode_rotation,
+)
+from captra_tpu.pose.part_dof import (
+    Pose, add_noise_to_pose, eval_part_full, tree_root,
+)
+
+
+@struct.dataclass
+class TrackAux:
+    """Per-frame outputs stacked by the scan."""
+    pose: Pose                 # [B, P] fitted pose
+    pred_labels: jnp.ndarray   # [B, N]
+    seg: jnp.ndarray           # [B, N, S]
+    nocs: jnp.ndarray          # [B, N, 3P]
+
+
+def init_pose_from_gt(key: jax.Array, gt_pose: Pose, cfg: Config) -> Pose:
+    """Frame-0 pose: GT, or GT perturbed by the configured noise
+    (reference model.py:390-400)."""
+    if cfg.track.init_frame_gt:
+        return gt_pose
+    return add_noise_to_pose(key, gt_pose,
+                             rot_rad=jnp.deg2rad(cfg.perturb.r),
+                             trans_sigma=cfg.perturb.t,
+                             scale_sigma=cfg.perturb.s,
+                             kind=cfg.perturb.kind)
+
+
+def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable):
+    """Build the scan step: carry = Pose [B, P], frame = dict with
+    points [B, N, 3] (raw camera) and optional labels [B, N]."""
+    obj = cfg.obj
+    root = tree_root(obj.tree)
+
+    def step(pose: Pose, frame: dict):
+        points_raw = frame["points"]
+        points_mean = jnp.mean(points_raw, axis=1)       # [B, 3]
+        points = points_raw - points_mean[:, None]
+
+        # CoordNet in the root part's previous frame (model.py:457-463)
+        root_pose = Pose(rotation=pose.rotation[:, root],
+                         translation=pose.translation[:, root],
+                         scale=pose.scale[:, root])
+        canon_pts = canonicalize(points, points_mean, root_pose)
+        coord_out = coord_fn(canon_pts)
+        seg, nocs = coord_out["seg"], coord_out["nocs"]
+        pred_labels = jnp.argmax(seg, axis=-1)           # [B, N]
+
+        if cfg.track.gt_label and "labels" in frame:
+            labels = frame["labels"]
+        else:
+            labels = pred_labels
+
+        # RotationNet in each part's previous frame (model.py:454-476)
+        canon_parts = canonicalize_per_part(points, points_mean, pose)
+        rot_out = rot_fn(canon_parts, labels)
+        delta, _ = decode_rotation(rot_out, obj.sym)
+
+        B, N = labels.shape
+        pred_npcs = jnp.moveaxis(
+            nocs.reshape(B, N, obj.num_parts, 3), 2, 1)  # [B, P, N, 3]
+        new_pose = compose_track_pose(pose, delta, labels, pred_npcs,
+                                      points, points_mean,
+                                      num_parts=obj.num_parts, sym=obj.sym)
+        return new_pose, TrackAux(pose=new_pose, pred_labels=pred_labels,
+                                  seg=seg, nocs=nocs)
+
+    return step
+
+
+def track_trajectory(step: Callable, init_pose: Pose, frames: dict):
+    """Scan the step over frames with leading time axis [T, B, ...].
+
+    Frame 0's pose is the given init (the reference also skips inference on
+    frame 0, model.py:411-413); frames[1:] are tracked.  Returns
+    (final_pose, TrackAux stacked over T-1 tracked frames).
+    """
+    rest = jax.tree.map(lambda x: x[1:], frames)
+    return jax.lax.scan(step, init_pose, rest)
+
+
+def evaluate_track(pred_poses: Pose, gt_poses: Pose, sym: bool):
+    """Per-frame errors for stacked poses [T, B, P] (reference
+    EvalTrackModel.compute_loss, model.py:511-593 pose-diff part)."""
+    return eval_part_full(gt_poses, pred_poses, yaxis_only=sym)

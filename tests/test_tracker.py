@@ -1,0 +1,166 @@
+"""End-to-end tracking-loop tests on synthetic trajectories (SURVEY.md §4c).
+
+Oracle predictors (perfect seg/NPCS + perfect rotation delta) must track a
+moving object to near-zero error through the full scan — this validates the
+recurrence, canonicalization, composition and s/t fitting machinery
+independently of network quality."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captra_tpu.config.schema import Config, NetworkCfg, ObjCfg, TrackCfg
+from captra_tpu.data.synthetic import Trajectory, batch_trajectories, make_trajectory
+from captra_tpu.pose.part_dof import Pose, compute_parts_delta_pose
+from captra_tpu.tracking.tracker import (
+    evaluate_track, init_pose_from_gt, make_track_step, track_trajectory,
+)
+
+from tests.test_models import tiny_config
+
+
+def rigid_obj(sym=False):
+    return ObjCfg(num_parts=1, num_joints=0, tree=(-1,), sym=sym)
+
+
+def arti_obj():
+    return ObjCfg(num_parts=2, num_joints=1, tree=(-1, 0), main_axis=(1,),
+                  joint_type="revolute")
+
+
+def _oracle_fns(cfg, frames):
+    """Oracle predictors closed over per-frame GT carried in the frame dict:
+    `frame['nocs']` [B, N, 3], `frame['labels']` [B, N], and the GT delta is
+    derived from gt pose of consecutive frames carried via frame['gt_pose']
+    and the carry pose inside the step — here we cheat by supplying the GT
+    rotation delta directly via frame['gt_delta_rt9'] [B, P, 9]."""
+    P = cfg.obj.num_parts
+
+    def coord_fn_from(frame):
+        def coord_fn(canon_pts):
+            B, N, _ = canon_pts.shape
+            seg = jax.nn.one_hot(frame["labels"], cfg.obj.num_seg)
+            nocs = jnp.tile(frame["nocs"], (1, 1, P))
+            return {"seg": seg, "nocs": nocs}
+        return coord_fn
+
+    def rot_fn_from(frame):
+        def rot_fn(canon_parts, labels):
+            B = canon_parts.shape[0]
+            N = canon_parts.shape[2]
+            rt = frame["gt_delta_rt9"]  # [B, P, 9|3]
+            return {"rtvec": rt,
+                    "point_rtvec": jnp.broadcast_to(
+                        rt[:, :, None], (B, P, N, rt.shape[-1]))}
+        return rot_fn
+
+    return coord_fn_from, rot_fn_from
+
+
+def _run_oracle_track(obj, T=12, B=2, N=512, key_seed=0):
+    cfg = tiny_config().replace(obj=obj, track=TrackCfg(init_frame_gt=True))
+    trajs = [make_trajectory(seed=s, obj=obj, num_frames=T, num_points=N)
+             for s in range(B)]
+    batch = batch_trajectories(trajs)  # [T, B, ...]
+    gt = batch["pose"]
+
+    # GT rotation delta between consecutive frames, in the previous frame's
+    # canonical frame: R_delta = R_{t-1}^T R_t (per part)
+    prev_R = gt.rotation[:-1]
+    next_R = gt.rotation[1:]
+    delta = jnp.swapaxes(prev_R, -1, -2) @ next_R  # [T-1, B, P, 3, 3]
+    if obj.sym:
+        # sym head regresses only the y axis of the delta frame
+        delta9 = delta[..., :, 1]
+    else:
+        delta9 = delta.reshape(delta.shape[:-2] + (9,))
+
+    frames = {
+        "points": batch["points"],
+        "labels": batch["labels"],
+        "nocs": batch["nocs"],
+        # align: frame t carries delta from t-1 -> t; frame 0 never used
+        "gt_delta_rt9": jnp.concatenate([delta9[:1], delta9], axis=0),
+    }
+
+    coord_from, rot_from = _oracle_fns(cfg, frames)
+
+    def step_wrapper(pose, frame):
+        inner = make_track_step(cfg, coord_from(frame), rot_from(frame))
+        return inner(pose, frame)
+
+    init_pose = Pose(rotation=gt.rotation[0], translation=gt.translation[0],
+                     scale=gt.scale[0])
+    final, aux = jax.jit(
+        lambda ip, fr: track_trajectory(step_wrapper, ip, fr))(init_pose,
+                                                               frames)
+    gt_rest = Pose(rotation=gt.rotation[1:], translation=gt.translation[1:],
+                   scale=gt.scale[1:])
+    return evaluate_track(aux.pose, gt_rest, sym=obj.sym), aux
+
+
+def test_oracle_tracking_rigid():
+    errs, aux = _run_oracle_track(rigid_obj())
+    rdiff = np.asarray(errs["rdiff"])
+    tdiff = np.asarray(errs["tdiff"])
+    assert rdiff.mean() < 1.0, rdiff.mean()
+    assert tdiff.mean() < 0.01, tdiff.mean()
+    assert np.asarray(errs["5deg5cm"]).mean() == 1.0
+
+
+def test_oracle_tracking_articulated():
+    errs, aux = _run_oracle_track(arti_obj())
+    assert np.asarray(errs["rdiff"]).mean() < 1.5
+    assert np.asarray(errs["tdiff"]).mean() < 0.02
+    assert np.asarray(errs["5deg5cm"]).mean() == 1.0
+
+
+def test_oracle_tracking_sym():
+    errs, aux = _run_oracle_track(rigid_obj(sym=True))
+    assert np.asarray(errs["rdiff"]).mean() < 1.0  # yaxis-only metric
+    assert np.asarray(errs["tdiff"]).mean() < 0.01
+
+
+def test_tracking_with_real_nets_runs(key):
+    """Untrained nets won't track well; this validates shapes/jit of the full
+    net-in-scan path."""
+    from captra_tpu.models.coordnet import CoordNet
+    from captra_tpu.models.rotnet import RotNet
+
+    obj = rigid_obj()
+    cfg = tiny_config().replace(obj=obj, track=TrackCfg(init_frame_gt=True))
+    T, B, N = 4, 1, 128
+    trajs = [make_trajectory(seed=7, obj=obj, num_frames=T, num_points=N)]
+    batch = batch_trajectories(trajs)
+    gt = batch["pose"]
+
+    coord = CoordNet(cfg)
+    rotn = RotNet(cfg)
+    k1, k2 = jax.random.split(key)
+    cv = coord.init(k1, batch["points"][0], train=False)
+    rv = rotn.init(k2, jnp.zeros((B, obj.num_parts, N, 3)),
+                   batch["labels"][0], train=False)
+
+    step = make_track_step(
+        cfg,
+        lambda pts: coord.apply(cv, pts, train=False),
+        lambda parts, labels: rotn.apply(rv, parts, labels, train=False))
+    init_pose = Pose(rotation=gt.rotation[0], translation=gt.translation[0],
+                     scale=gt.scale[0])
+    final, aux = jax.jit(
+        lambda ip, fr: track_trajectory(step, ip, fr))(
+            init_pose, {"points": batch["points"]})
+    assert aux.pose.rotation.shape == (T - 1, B, obj.num_parts, 3, 3)
+    assert np.isfinite(np.asarray(aux.pose.translation)).all()
+    assert np.isfinite(np.asarray(aux.pose.scale)).all()
+
+
+def test_init_pose_noise(key, rng):
+    from tests.test_models import _make_pose
+    cfg = tiny_config()
+    gt = _make_pose(rng, 2, 2)
+    noisy = init_pose_from_gt(key, gt, cfg)
+    assert not np.allclose(np.asarray(noisy.rotation), np.asarray(gt.rotation))
+    cfg_gt = cfg.replace(track=TrackCfg(init_frame_gt=True))
+    same = init_pose_from_gt(key, gt, cfg_gt)
+    np.testing.assert_allclose(np.asarray(same.rotation),
+                               np.asarray(gt.rotation))
