@@ -156,6 +156,24 @@ def _axis_angle(axis, theta) -> np.ndarray:
         jnp.asarray([theta], dtype=jnp.float32))[0], dtype=np.float32)
 
 
+def make_frame_batch(seed: int, obj: ObjCfg, batch: int = 8,
+                     num_points: int = 512, num_frames: int = 4):
+    """Single-frame training batch: dict of points/labels/nocs/pose/corners
+    with leading dim `batch` (the shape SingleFrameData yields, reference
+    network/data/dataset.py:120-132)."""
+    trajs = [make_trajectory(seed * 131 + b, obj, num_frames=num_frames,
+                             num_points=num_points) for b in range(batch)]
+    f = seed % num_frames
+    return {
+        "points": jnp.stack([jnp.asarray(t.points[f]) for t in trajs]),
+        "labels": jnp.stack([jnp.asarray(t.labels[f]) for t in trajs]),
+        "nocs": jnp.stack([jnp.asarray(t.nocs[f]) for t in trajs]),
+        "pose": jax.tree.map(lambda *x: jnp.stack(x),
+                             *[t.pose[f] for t in trajs]),
+        "corners": jnp.stack([jnp.asarray(t.corners) for t in trajs]),
+    }
+
+
 def batch_trajectories(trajs: list[Trajectory]):
     """Stack B same-shape trajectories into batched arrays [T, B, ...]."""
     points = jnp.stack([t.points for t in trajs], axis=1)

@@ -1,0 +1,45 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-GPU (configs/config.py:68; no torch.distributed
+anywhere — SURVEY.md §2.3).  Scale-out is therefore a *new* first-class
+component, done the TPU way: a `jax.sharding.Mesh` over ICI, batch axis
+sharded with NamedSharding, params replicated (the nets are ~1-5M params —
+no TP/PP warranted).  Under `jit`, XLA GSPMD inserts the gradient all-reduce
+for training and keeps streaming inference embarrassingly parallel over
+trajectories.
+
+The video-frame axis is the tracking recurrence (`lax.scan`) and is *not*
+sharded — parallelism comes from batching trajectories across chips
+(SURVEY.md §5 long-context note).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def data_parallel_mesh(n_devices: int | None = None,
+                       axis: str = DATA_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS, batch_dim: int = 0):
+    """Place a pytree of arrays with the batch dim sharded over the mesh."""
+    def put(x):
+        spec = [None] * x.ndim
+        spec[batch_dim] = axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params / optimizer state) over the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

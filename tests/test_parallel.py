@@ -1,0 +1,90 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh
+(SURVEY.md §4: fake-mesh tests for the multi-chip batching)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captra_tpu.config.schema import NetworkCfg, ObjCfg
+from captra_tpu.data.synthetic import make_frame_batch
+from captra_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
+from captra_tpu.training.trainer import Trainer
+
+from tests.test_models import tiny_config
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_train_step(key):
+    """Sharded batch + replicated params: one jitted step must produce
+    identical params on every device and match the single-device result."""
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,), extra_dims=1)
+    cfg = tiny_config().replace(
+        obj=obj, network=NetworkCfg(type="canon_coord", backbone_out_dim=32,
+                                    nocs_head_dims=(16,)))
+    trainer = Trainer(cfg, steps_per_epoch=10)
+    batch = make_frame_batch(0, obj, batch=8, num_points=128)
+    state = trainer.init_state(key, batch)
+
+    mesh = data_parallel_mesh()
+    sharded = shard_batch(batch, mesh)
+    state_rep = replicate(state, mesh)
+
+    new_state, loss_dict, _ = trainer.train_step(state_rep, sharded, key)
+    total_sharded = float(loss_dict["total_loss"])
+
+    new_state_1dev, loss_1dev, _ = trainer.train_step(state, batch, key)
+    # same global loss (BN + grad all-reduce both span the global batch)
+    np.testing.assert_allclose(total_sharded,
+                               float(loss_1dev["total_loss"]), rtol=1e-4)
+    # NOTE: exact param equality is not meaningful — Adam's first update is
+    # ~sign(grad)*lr, so fp-reorder sign flips of near-zero grads are
+    # expected.  Check the *second* step's loss instead: training
+    # trajectories must stay equivalent.
+    _, loss2_sharded, _ = trainer.train_step(
+        new_state, shard_batch(batch, mesh), key)
+    _, loss2_1dev, _ = trainer.train_step(new_state_1dev, batch, key)
+    np.testing.assert_allclose(float(loss2_sharded["total_loss"]),
+                               float(loss2_1dev["total_loss"]), rtol=5e-2)
+    assert np.isfinite(np.asarray(jax.tree.leaves(new_state.params)[0])).all()
+
+
+def test_tracking_shards_over_trajectories(key):
+    """Batched tracking scan with trajectories sharded across the mesh."""
+    from captra_tpu.data.synthetic import batch_trajectories, make_trajectory
+    from captra_tpu.pose.part_dof import Pose
+    from captra_tpu.tracking.tracker import make_track_step, track_trajectory
+    from captra_tpu.models.coordnet import CoordNet
+    from captra_tpu.models.rotnet import RotNet
+    from captra_tpu.config.schema import TrackCfg
+
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,))
+    cfg = tiny_config().replace(obj=obj, track=TrackCfg(init_frame_gt=True))
+    T, B, N = 3, 8, 128
+    trajs = [make_trajectory(seed=s, obj=obj, num_frames=T, num_points=N)
+             for s in range(B)]
+    batch = batch_trajectories(trajs)
+    gt = batch["pose"]
+
+    coord, rotn = CoordNet(cfg), RotNet(cfg)
+    k1, k2 = jax.random.split(key)
+    cv = coord.init(k1, batch["points"][0], train=False)
+    rv = rotn.init(k2, jnp.zeros((B, 1, N, 3)), batch["labels"][0],
+                   train=False)
+
+    step = make_track_step(
+        cfg, lambda p: coord.apply(cv, p, train=False),
+        lambda p, l: rotn.apply(rv, p, l, train=False))
+
+    mesh = data_parallel_mesh()
+    frames = shard_batch({"points": batch["points"]}, mesh, batch_dim=1)
+    init_pose = Pose(rotation=gt.rotation[0], translation=gt.translation[0],
+                     scale=gt.scale[0])
+    init_pose = shard_batch(init_pose, mesh, batch_dim=0)
+    cv_r, rv_r = replicate((cv, rv), mesh)
+
+    final, aux = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))(
+        init_pose, frames)
+    assert aux.pose.rotation.shape == (T - 1, B, 1, 3, 3)
+    assert np.isfinite(np.asarray(aux.pose.scale)).all()

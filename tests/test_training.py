@@ -1,0 +1,111 @@
+"""Trainer smoke + learning tests: one step runs under jit, loss decreases
+when overfitting a fixed tiny batch (SURVEY.md §4 implication d)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from captra_tpu.config.schema import NetworkCfg, ObjCfg
+from captra_tpu.data.synthetic import make_frame_batch
+from captra_tpu.training.trainer import (
+    Trainer, bn_momentum_for_epoch, make_lr_schedule,
+)
+
+from tests.test_models import tiny_config
+
+
+def _trainer(net_type, obj=None, **cfg_kw):
+    cfg = tiny_config()
+    if obj is not None:
+        cfg = cfg.replace(obj=obj)
+    cfg = cfg.replace(network=NetworkCfg(type=net_type, backbone_out_dim=32,
+                                         nocs_head_dims=(16,)), **cfg_kw)
+    return Trainer(cfg, steps_per_epoch=10), cfg
+
+
+def test_lr_schedule():
+    _, cfg = _trainer("canon_coord")
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    lr0 = float(sched(0))
+    assert lr0 == pytest.approx(cfg.optim.learning_rate)
+    # after lr_step_size epochs: halved
+    assert float(sched(10 * cfg.optim.lr_step_size)) == pytest.approx(lr0 / 2)
+    # far future: clipped
+    assert float(sched(10 * cfg.optim.lr_step_size * 50)) == pytest.approx(
+        cfg.optim.lr_clip)
+
+
+def test_bn_momentum_schedule():
+    _, cfg = _trainer("canon_coord")
+    m0 = bn_momentum_for_epoch(cfg, 0)
+    assert m0 == pytest.approx(1.0 - 0.1)
+    m20 = bn_momentum_for_epoch(cfg, 20)
+    assert m20 == pytest.approx(1.0 - 0.05)
+    m_inf = bn_momentum_for_epoch(cfg, 10_000)
+    assert m_inf == pytest.approx(1.0 - 0.01)
+
+
+def test_coordnet_train_step_learns(key):
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,), sym=False,
+                 extra_dims=1)
+    trainer, cfg = _trainer("canon_coord", obj=obj)
+    batch = make_frame_batch(0, obj, batch=2, num_points=128)
+    state = trainer.init_state(key, batch)
+
+    losses = []
+    k = key
+    for i in range(12):
+        k, sub = jax.random.split(k)
+        state, loss_dict, metrics = trainer.train_step(state, batch, sub)
+        losses.append(float(loss_dict["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert "seg_loss" in loss_dict and "nocs_loss" in loss_dict
+    assert "5deg5cm" in metrics
+
+
+def test_coordnet_sym_losses(key):
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,), sym=True,
+                 extra_dims=1)
+    trainer, cfg = _trainer("canon_coord", obj=obj)
+    batch = make_frame_batch(0, obj, batch=2, num_points=128)
+    state = trainer.init_state(key, batch)
+    state, loss_dict, _ = trainer.train_step(state, batch, key)
+    assert "nocs_dist_loss" in loss_dict and "nocs_pwm_loss" in loss_dict
+    assert np.isfinite(float(loss_dict["total_loss"]))
+
+
+def test_rotnet_train_step_learns(key):
+    obj = ObjCfg(num_parts=2, num_joints=1, tree=(-1, 0), main_axis=(1,))
+    trainer, cfg = _trainer("rot", obj=obj)
+    batch = make_frame_batch(0, obj, batch=2, num_points=128)
+    state = trainer.init_state(key, batch)
+    losses = []
+    k = key
+    for i in range(12):
+        k, sub = jax.random.split(k)
+        state, loss_dict, metrics = trainer.train_step(state, batch, sub)
+        losses.append(float(loss_dict["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert "rloss" in loss_dict
+
+
+def test_eval_step(key):
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,), extra_dims=1)
+    trainer, cfg = _trainer("canon_coord", obj=obj)
+    batch = make_frame_batch(0, obj, batch=2, num_points=128)
+    state = trainer.init_state(key, batch)
+    loss_dict, metrics = trainer.eval_step(state, batch, key)
+    assert np.isfinite(float(loss_dict["total_loss"]))
+
+
+def test_bn_stats_update(key):
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,), extra_dims=1)
+    trainer, cfg = _trainer("canon_coord", obj=obj)
+    batch = make_frame_batch(0, obj, batch=2, num_points=128)
+    state = trainer.init_state(key, batch)
+    before = jax.tree.leaves(state.batch_stats)[0].copy()
+    state, _, _ = trainer.train_step(state, batch, key)
+    after = jax.tree.leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
