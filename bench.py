@@ -1,0 +1,117 @@
+"""Headline benchmark: tracked frames/sec/chip on the flagship tracking loop.
+
+Runs the full-size CoordNet + RotationNet + analytic-fit tracking scan
+(NOCS-bottle-shaped config: 4096 points, pointnet2_camera backbone) over
+batched synthetic trajectories and reports throughput against the 200
+frames/sec/chip north star (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env: CAPTRA_BENCH_BATCHES="16,32" to sweep batch sizes (default "16").
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compile cache: full-size net compiles are minutes through the
+# remote-compile tunnel; cache them across bench runs
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BASELINE_FPS = 200.0  # north-star target, BASELINE.json
+
+
+def _cfg():
+    from captra_tpu.config import get_config
+    return get_config("config_track.yml", overrides={
+        "obj_config": "obj_info_nocs.yml", "obj_category": "1",
+        "init_frame/gt": True,
+    })
+
+
+def _init_variables(cfg):
+    """Initialize both nets once at B=1 (params are batch-size independent)."""
+    from captra_tpu.models.coordnet import CoordNet
+    from captra_tpu.models.rotnet import RotNet
+
+    N, P = cfg.num_points, cfg.obj.num_parts
+    coord, rotn = CoordNet(cfg), RotNet(cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cv = coord.init(k1, jnp.zeros((1, N, 3)), train=False)
+    rv = rotn.init(k2, jnp.zeros((1, P, N, 3)), jnp.zeros((1, N), jnp.int32),
+                   train=False)
+    return coord, rotn, cv, rv
+
+
+def build_runner(cfg, coord, rotn, cv, rv):
+    from captra_tpu.pose.part_dof import Pose
+    from captra_tpu.tracking.tracker import make_track_step, track_trajectory
+
+    step = make_track_step(
+        cfg,
+        lambda p: coord.apply(cv, p, train=False),
+        lambda p, l: rotn.apply(rv, p, l, train=False))
+    return jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
+
+
+def make_data(cfg, batch: int, num_frames: int):
+    from captra_tpu.data.synthetic import batch_trajectories, make_trajectory
+    from captra_tpu.pose.part_dof import Pose
+
+    trajs = [make_trajectory(seed=s, obj=cfg.obj, num_frames=num_frames,
+                             num_points=cfg.num_points) for s in range(batch)]
+    data = batch_trajectories(trajs)
+    gt = data["pose"]
+    init_pose = Pose(rotation=gt.rotation[0], translation=gt.translation[0],
+                     scale=gt.scale[0])
+    return init_pose, {"points": data["points"]}
+
+
+def main():
+    num_frames = 20
+    batches = [int(b) for b in
+               os.environ.get("CAPTRA_BENCH_BATCHES", "16").split(",")]
+    cfg = _cfg()
+    t0 = time.time()
+    coord, rotn, cv, rv = _init_variables(cfg)
+    print(f"# init: {time.time() - t0:.1f}s")
+
+    best_fps, best_cfg = 0.0, None
+    for batch in batches:
+        try:
+            run = build_runner(cfg, coord, rotn, cv, rv)
+            init_pose, frames = make_data(cfg, batch, num_frames)
+            t0 = time.time()
+            out = run(init_pose, frames)
+            jax.block_until_ready(out)
+            print(f"# batch={batch} compile+warm: {time.time() - t0:.1f}s")
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = run(init_pose, frames)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            fps = (num_frames - 1) * batch / best
+        except Exception as e:  # noqa: BLE001 — report what we can
+            print(f"# batch={batch} failed: {e}")
+            continue
+        print(f"# batch={batch}: {fps:.1f} tracked frames/sec/chip")
+        if fps > best_fps:
+            best_fps, best_cfg = fps, batch
+    print(json.dumps({
+        "metric": "tracked_frames_per_sec_per_chip",
+        "value": round(best_fps, 2),
+        "unit": f"frames/s (NOCS-bottle-shaped, 4096 pts, batch={best_cfg})",
+        "vs_baseline": round(best_fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""On-device, fixed-shape frame preprocessing: depth backprojection, ball
+crop with radius growth, random-subsample + FPS downsampling, NPCS labels.
+
+TPU-native redesign of the reference's per-frame CPU pipeline
+(/root/reference/datasets/nocs_data/nocs_data_process.py:92-236 and
+nocs_utils.py:5-33): the reference crops a 2D window, backprojects the
+variable-size pixel set in numpy, retries the ball crop in a Python loop and
+ships points to the GPU just for FPS — per tracked frame.  Here every step is
+fixed-shape and jittable, so the whole OTF crop lives inside the tracking
+scan and the depth image is the only host->device transfer.
+
+Fixed-shape strategy (SURVEY.md §7 "hard parts"):
+  * all H*W pixels are backprojected; validity is a mask, not a gather;
+  * the radius-growth loop (x1.1, up to 10 tries, nocs_data_process.py:95-99)
+    becomes a vectorized first-k-with-enough-points select over 10
+    precomputed radii;
+  * "duplicate until >= num_points then FPS" (nocs_data_process.py:100-108)
+    becomes: random-permute in-ball points to the front (matching the
+    reference's 5x-npoint random subsample, data_utils.py:147-153), wrap
+    indices modulo the in-ball count, FPS the fixed-size working set.
+    Duplicated points have zero min-distance so FPS picks them last — the
+    sampling distribution is unchanged.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from captra_tpu.ops import farthest_point_sample
+from captra_tpu.pose.part_dof import Pose
+
+# NOCS real-camera intrinsics (reference nocs_data_process.py:20)
+NOCS_REAL_INTRINSICS = jnp.array([[591.0125, 0.0, 322.525],
+                                  [0.0, 590.16775, 244.11084],
+                                  [0.0, 0.0, 1.0]])
+# NOCS synthetic (CAMERA) intrinsics (reference nocs_utils.py:5)
+NOCS_CAMERA_INTRINSICS = jnp.array([[577.5, 0.0, 319.5],
+                                    [0.0, 577.5, 239.5],
+                                    [0.0, 0.0, 1.0]])
+
+
+@jax.jit
+def backproject_depth(depth: jnp.ndarray, intrinsics: jnp.ndarray,
+                      mask: jnp.ndarray | None = None, scale: float = 0.001):
+    """depth [H, W] (raw integer units) -> (pts [H*W, 3] metric, valid
+    [H*W]).  Matches reference `backproject` (nocs_utils.py:5-33) incl. the
+    y-flip (v = H - row) and the z-negation convention."""
+    H, W = depth.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = depth > 0
+    if mask is not None:
+        valid = valid & mask.astype(bool)
+
+    K_inv = jnp.linalg.inv(intrinsics)
+    uv1 = jnp.stack([cols.astype(jnp.float32),
+                     (H - rows).astype(jnp.float32),
+                     jnp.ones((H, W), jnp.float32)], axis=-1)  # [H, W, 3]
+    xyz = uv1 @ K_inv.T
+    z = depth.astype(jnp.float32)
+    pts = xyz * (z[..., None] / xyz[..., 2:3])
+    pts = pts.at[..., 2].multiply(-1.0)
+    return (pts.reshape(H * W, 3) * scale), valid.reshape(H * W)
+
+
+@functools.partial(jax.jit, static_argnames=("num_points", "work_factor",
+                                             "max_grow"))
+def crop_ball(key: jax.Array, pts: jnp.ndarray, valid: jnp.ndarray,
+              center: jnp.ndarray, radius: jnp.ndarray, num_points: int,
+              work_factor: int = 5, max_grow: int = 10):
+    """Fixed-shape ball crop + FPS downsample.
+
+    pts [M, 3], valid [M] bool, center [3], radius scalar ->
+    (points [num_points, 3], idx [num_points] into pts).
+    """
+    M = pts.shape[0]
+    dist = jnp.where(valid, jnp.linalg.norm(pts - center, axis=-1), jnp.inf)
+
+    # radius growth: first of radius * 1.1^k with >= 10 points (else largest)
+    radius = jnp.maximum(radius, 0.05)
+    radii = radius * (1.1 ** jnp.arange(max_grow))
+    counts = jnp.sum(dist[None, :] <= radii[:, None], axis=-1)  # [max_grow]
+    k = jnp.argmax(counts >= 10)  # first satisfying (0 if none)
+    k = jnp.where(counts[k] >= 10, k, max_grow - 1)
+    r = radii[k]
+
+    in_ball = dist <= r
+    # degenerate: nothing in ball -> take any valid point (reference falls
+    # back to distance <= 1e9, nocs_data_process.py:101-102)
+    any_ball = jnp.any(in_ball)
+    in_ball = jnp.where(any_ball, in_ball, valid)
+    count = jnp.maximum(jnp.sum(in_ball), 1)
+
+    # random permutation of in-ball indices first (5x-npoint subsample)
+    scores = jnp.where(in_ball, jax.random.uniform(key, (M,)), jnp.inf)
+    order = jnp.argsort(scores)
+    W = min(work_factor * num_points, M)
+    take = order[jnp.arange(W) % count]           # wrap -> duplicates
+    sub = pts[take]                               # [W, 3]
+
+    fps_idx = farthest_point_sample(sub[None], num_points)[0]
+    final = take[fps_idx]
+    return pts[final], final
+
+
+@functools.partial(jax.jit, static_argnames=("num_points",))
+def otf_frame_from_depth(key: jax.Array, depth: jnp.ndarray,
+                         obj_mask: jnp.ndarray, intrinsics: jnp.ndarray,
+                         center: jnp.ndarray, radius: jnp.ndarray,
+                         gt_pose: Pose, num_points: int):
+    """Full OTF frame: depth + instance mask + tracked center/radius ->
+    {points [num_points, 3], labels, nocs} (reference
+    full_data_from_depth_image, nocs_data_process.py:182-236 +
+    base_generate_data :43-50).
+
+    labels follow the NOCS convention: 0 = object, 1 = background
+    (base_generate_data's `1 - seg`).  gt_pose: single-part Pose ([] dims).
+    """
+    pts, valid = backproject_depth(depth, intrinsics)
+    points, idx = crop_ball(key, pts, valid, center, radius, num_points)
+    is_obj = obj_mask.reshape(-1)[idx].astype(jnp.int32)
+    labels = 1 - is_obj
+
+    canon = ((points - gt_pose.translation[..., 0]) /
+             gt_pose.scale) @ gt_pose.rotation
+    nocs = jnp.where((labels == 0)[:, None], canon, 0.0)
+    return {"points": points, "labels": labels, "nocs": nocs}

@@ -18,8 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from captra_tpu.config.schema import ObjCfg
-from captra_tpu.pose import rotations as rot
-from captra_tpu.pose.part_dof import Pose, apply_pose, tree_root
+from captra_tpu.pose.part_dof import Pose, tree_root
 
 
 @dataclass
@@ -131,9 +130,10 @@ def make_trajectory(seed: int, obj: ObjCfg, num_frames: int = 30,
     pose = Pose(rotation=jnp.asarray(Rs), translation=jnp.asarray(ts),
                 scale=jnp.asarray(ss))
 
-    # observed clouds: pose own part's NPCS + noise
-    npcs_per_part = np.broadcast_to(npcs[None, None], (key_T, P) + npcs.shape)
-    posed = np.asarray(apply_pose(pose, jnp.asarray(npcs_per_part)))
+    # observed clouds: pose own part's NPCS + noise (pure numpy — keeps data
+    # generation off-device and compile-free)
+    posed = np.einsum("tpij,nj->tpni", Rs, npcs) * ss[..., None, None]
+    posed = posed + np.swapaxes(ts, -1, -2)  # [T, P, 1, 3] broadcasts over N
     sel = posed[np.arange(key_T)[:, None], labels[None, :],
                 np.arange(npcs.shape[0])[None, :]]  # [T, N, 3]
     points = sel + rng.randn(*sel.shape).astype(np.float32) * noise
@@ -147,13 +147,21 @@ def make_trajectory(seed: int, obj: ObjCfg, num_frames: int = 30,
 def _random_rotation(rng) -> np.ndarray:
     q = rng.randn(4)
     q /= np.linalg.norm(q)
-    return np.asarray(rot.quat_to_matrix(jnp.asarray(q)), dtype=np.float32)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2*y*y - 2*z*z, 2*x*y - 2*z*w, 2*x*z + 2*y*w],
+        [2*x*y + 2*z*w, 1 - 2*x*x - 2*z*z, 2*y*z - 2*x*w],
+        [2*x*z - 2*y*w, 2*y*z + 2*x*w, 1 - 2*x*x - 2*y*y],
+    ], dtype=np.float32)
 
 
 def _axis_angle(axis, theta) -> np.ndarray:
-    return np.asarray(rot.axis_theta_to_matrix(
-        jnp.asarray(axis, dtype=jnp.float32)[None],
-        jnp.asarray([theta], dtype=jnp.float32))[0], dtype=np.float32)
+    """Rodrigues' formula, pure numpy."""
+    a = np.asarray(axis, np.float64)
+    a = a / np.linalg.norm(a)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    R = np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+    return R.astype(np.float32)
 
 
 def make_frame_batch(seed: int, obj: ObjCfg, batch: int = 8,
