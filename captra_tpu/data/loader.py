@@ -1,0 +1,106 @@
+"""Batching / loading utilities: frame collation, sequence chunking, mixture
+sampling.
+
+Functional spec: /root/reference/network/data/dataset.py (SingleFrameData
+:120-132, SequenceData :135-194, get_dataloader :197-205),
+data_transforms.py (shuffle + subtract_mean :3-18) and the CAMERA+Real
+mixture loop in train_nocs_finetune.py:52-107.
+
+No torch DataLoader: batches are assembled in numpy and shipped to device as
+one pytree per step (optionally double-buffered by the caller).  Point
+shuffling/mean-subtraction from the reference's transforms are not needed
+host-side — the tracker/trainer subtract the mean on device, and point order
+is irrelevant to every consumer.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captra_tpu.pose.part_dof import Pose
+
+
+def _pose_from_meta(pose_meta) -> dict:
+    """meta['pose'] may be a single part dict or a list of per-part dicts
+    (reference part_model_batch_to_part, part_dof_utils.py:70-75)."""
+    if isinstance(pose_meta, dict):
+        pose_meta = [pose_meta]
+    rot = np.stack([np.asarray(p["rotation"], np.float32) for p in pose_meta])
+    trans = np.stack([np.asarray(p["translation"],
+                                 np.float32).reshape(3, 1) for p in pose_meta])
+    scale = np.asarray([np.float32(p["scale"]) for p in pose_meta])
+    return {"rotation": rot, "translation": trans, "scale": scale}
+
+
+def collate_frames(items: Sequence[dict]) -> dict:
+    """List of dataset items -> batched device arrays
+    {points, labels, nocs, pose: Pose [B, P], corners [B, P, 2, 3]}."""
+    points = np.stack([it["data"]["points"] for it in items])
+    labels = np.stack([it["data"]["labels"] for it in items])
+    nocs = np.stack([it["data"]["nocs"] for it in items])
+    poses = [_pose_from_meta(it["meta"]["pose"]) for it in items]
+    pose = Pose(
+        rotation=jnp.asarray(np.stack([p["rotation"] for p in poses])),
+        translation=jnp.asarray(np.stack([p["translation"] for p in poses])),
+        scale=jnp.asarray(np.stack([p["scale"] for p in poses])),
+    )
+    corners = np.stack([np.asarray(it["meta"]["nocs_corners"], np.float32)
+                        .reshape(-1, 2, 3) for it in items])
+    return {"points": jnp.asarray(points), "labels": jnp.asarray(labels),
+            "nocs": jnp.asarray(nocs), "pose": pose,
+            "corners": jnp.asarray(corners)}
+
+
+def single_frame_batches(dataset, batch_size: int, shuffle: bool = True,
+                         seed: int = 0, drop_last: bool = True
+                         ) -> Iterator[dict]:
+    """Epoch iterator of collated batches (reference SingleFrameData +
+    DataLoader, dataset.py:197-205)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    for start in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                       batch_size):
+        idxs = order[start:start + batch_size]
+        if len(idxs) < batch_size and drop_last:
+            break
+        yield collate_frames([dataset[int(i)] for i in idxs])
+
+
+def sequence_batches(dataset, num_frames: int | None = None
+                     ) -> Iterator[tuple[str, dict]]:
+    """Per-track trajectory batches with leading time axis [T, 1, ...]
+    (reference SequenceData, dataset.py:135-194).  SAPIEN tracks are fixed
+    `num_frames` chunks; NOCS real scenes are whole variable-length tracks.
+    """
+    tracks = dataset.track_index()
+    for name, idxs in tracks.items():
+        chunks = ([idxs] if num_frames is None else
+                  [idxs[i:i + num_frames]
+                   for i in range(0, len(idxs) - num_frames + 1, num_frames)])
+        for ci, chunk in enumerate(chunks):
+            frames = [dataset[int(i)] for i in chunk]
+            batch = collate_frames(frames)
+            # leading time axis, batch 1
+            batch = jax.tree.map(lambda x: x[:, None], batch)
+            yield f"{name}/{ci}", batch
+
+
+class Mixture:
+    """Sample from several datasets with given ratios (reference Mixture,
+    utils.py:188-197; used for CAMERA-synthetic + Real finetuning)."""
+
+    def __init__(self, iterators: dict, ratios: dict, seed: int = 0):
+        self.iterators = iterators
+        keys = sorted(iterators)
+        probs = np.asarray([ratios[k] for k in keys], np.float64)
+        self.keys = keys
+        self.probs = probs / probs.sum()
+        self.rng = np.random.RandomState(seed)
+
+    def __next__(self):
+        key = self.rng.choice(self.keys, p=self.probs)
+        return key, next(self.iterators[key])
