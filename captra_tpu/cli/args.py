@@ -1,0 +1,88 @@
+"""Shared CLI flags with slash-path config overrides.
+
+Functional spec: /root/reference/network/parse_args.py:4-71.  Any flag whose
+name contains '/' overrides the matching nested config key (handled by
+captra_tpu.config.loader.overwrite_config).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def boolean_string(s: str) -> bool:
+    if s.lower() not in ("true", "false"):
+        raise ValueError(f"{s!r} is not a valid boolean string")
+    return s.lower() == "true"
+
+
+def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    a = parser.add_argument
+    a("--config", type=str, default="config_track.yml")
+    a("--config_dir", type=str, default=None,
+      help="directory holding all_config/obj_config/pointnet_config "
+           "(defaults to the bundled configs)")
+    a("--obj_config", type=str, default=None)
+    a("--obj_category", type=str, default=None)
+    a("--experiment_dir", type=str, default=None)
+    a("--resume_epoch", type=int, default=-1)
+
+    a("--coord_exp/dir", type=str, default=None)
+    a("--coord_exp/resume_epoch", type=int, default=None)
+
+    a("--batch_size", type=int, default=None)
+    a("--total_epoch", type=int, default=None)
+    a("--optimizer", type=str, default=None)
+    a("--weight_decay", type=float, default=None)
+    a("--learning_rate", type=float, default=None)
+    a("--lr_policy", type=str, default=None)
+    a("--lr_gamma", type=float, default=None)
+    a("--lr_step_size", type=int, default=None)
+    a("--lr_clip", type=float, default=None)
+
+    a("--num_points", type=int, default=None)
+    a("--data_radius", type=float, default=None)
+    a("--dataset_length", type=int, default=None)
+    a("--freq/save", type=int, default=None)
+    a("--pointnet_cfg/camera", type=str, default=None)
+
+    a("--network/type", type=str, default=None)
+    a("--network/nocs_head_dims", type=int, default=None)
+    a("--network/backbone_out_dim", type=int, default=None)
+    a("--network/pwm_num", type=int, default=None)
+
+    a("--save", action="store_true", default=False)
+    a("--no_eval", action="store_true", default=False)
+    a("--init_frame/gt", type=boolean_string, default=None)
+
+    for key in ("rloss", "tloss", "sloss", "corner_loss", "nocs_loss",
+                "nocs_dist_loss", "nocs_pwm_loss", "seg_loss"):
+        a(f"--loss_weight/{key}", type=float, default=None)
+    for key in ("r", "s", "t", "point"):
+        a(f"--pose_loss_type/{key}", type=str, default=None)
+    a("--pose_perturb/type", type=str, default=None)
+    a("--pose_perturb/r", type=float, default=None)
+    a("--pose_perturb/s", type=float, default=None)
+    a("--pose_perturb/t", type=float, default=None)
+
+    a("--nocs_otf", type=boolean_string, default=None)
+    a("--track_cfg/gt_label", type=boolean_string, default=None)
+    a("--track_cfg/nocs2d_label", type=boolean_string, default=None)
+    a("--track_cfg/nocs2d_path", type=str, default=None)
+
+    a("--num_devices", type=int, default=None,
+      help="restrict the data-parallel mesh to this many devices")
+    a("--synthetic_data", action="store_true", default=False,
+      help="run on generated synthetic data instead of a dataset on disk")
+    return parser
+
+
+def config_overrides(args: argparse.Namespace) -> dict:
+    """Namespace -> {slash_path: value} (only explicitly set flags)."""
+    skip = {"config", "config_dir", "resume_epoch", "save", "no_eval",
+            "num_devices", "synthetic_data"}
+    out = {}
+    for key, value in vars(args).items():
+        if key in skip or value is None or value is False:
+            continue
+        out[key] = value
+    return out

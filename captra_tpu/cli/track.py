@@ -1,0 +1,135 @@
+"""Tracking / test entry point.
+
+Functional spec: /root/reference/network/test.py (per-trajectory loop with
+FPS timing split :67-96, result saving :100-101).  Loads composed CoordNet +
+RotationNet checkpoints, scans each trajectory on device, optionally saves
+per-trajectory result pickles for `captra_tpu.cli.evaluate`.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from os.path import join as pjoin
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captra_tpu.cli.args import add_args, config_overrides
+from captra_tpu.config import get_config
+from captra_tpu.models.coordnet import CoordNet
+from captra_tpu.models.rotnet import RotNet
+from captra_tpu.pose.part_dof import Pose
+from captra_tpu.tracking.results import (
+    corners_from_track_aux, save_track_result,
+)
+from captra_tpu.tracking.tracker import (
+    evaluate_track, init_pose_from_gt, make_track_step, track_trajectory,
+)
+from captra_tpu.training import checkpoint as ckpt
+
+
+def load_variables(cfg, args):
+    """Compose coord + rot experiment checkpoints (reference
+    trainer.py:159-170)."""
+    coord_dir = pjoin(cfg.coord_exp_dir, "ckpt")
+    rot_dir = pjoin(cfg.experiment_dir, "ckpt")
+    coord_path = ckpt.latest_checkpoint(
+        coord_dir, cfg.coord_resume_epoch if cfg.coord_resume_epoch >= 0
+        else None)
+    rot_path = ckpt.latest_checkpoint(
+        rot_dir, args.resume_epoch if args.resume_epoch >= 0 else None)
+    if not coord_path or not rot_path:
+        raise FileNotFoundError(
+            f"checkpoints not found: coord={coord_path} rot={rot_path}")
+    return ckpt.load_track_variables(coord_path, rot_path)
+
+
+def build_step(cfg, cv, rv):
+    coord, rotn = CoordNet(cfg), RotNet(cfg)
+    return make_track_step(
+        cfg,
+        lambda p: coord.apply(cv, p, train=False),
+        lambda p, l: rotn.apply(rv, p, l, train=False))
+
+
+def track_sequences(cfg, step, sequences, save: bool = False,
+                    no_eval: bool = False, seed: int = 0):
+    """sequences: iterator of (name, batch) with leading [T, 1, ...]."""
+    run = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
+    key = jax.random.PRNGKey(seed)
+    all_avgs, total_frames, total_time = {}, 0, 0.0
+    for name, batch in sequences:
+        gt = batch["pose"]
+        key, sub = jax.random.split(key)
+        init_pose = init_pose_from_gt(sub, gt[0], cfg)
+        frames = {"points": batch["points"]}
+        if cfg.track.gt_label:
+            frames["labels"] = batch["labels"]
+        t0 = time.perf_counter()
+        final, aux = run(init_pose, frames)
+        jax.block_until_ready(aux.pose.scale)
+        dt = time.perf_counter() - t0
+        T = batch["points"].shape[0]
+        total_frames += T - 1
+        total_time += dt
+        print(f"{name}: {T - 1} frames in {dt:.3f}s "
+              f"({(T - 1) / dt:.1f} fps)")
+
+        if not no_eval:
+            gt_rest = gt.map(lambda x: x[1:])
+            errs = evaluate_track(aux.pose, gt_rest, sym=cfg.obj.sym)
+            avg = {k: float(jnp.mean(v)) for k, v in errs.items()}
+            for k, v in avg.items():
+                all_avgs.setdefault(k, []).append(v)
+            print("  " + "  ".join(f"{k}={v:.4f}" for k, v in avg.items()))
+
+        if save:
+            pred_poses = aux.pose.map(lambda x: x[:, 0])
+            gt_poses = gt.map(lambda x: x[1:, 0])
+            pred_corners = corners_from_track_aux(aux, cfg.obj.num_parts)
+            gt_corners = np.asarray(batch["corners"][0, 0])
+            save_track_result(pjoin(cfg.experiment_dir, "results"),
+                              name.replace("/", "_"), pred_poses, gt_poses,
+                              pred_corners, gt_corners)
+    if total_time > 0:
+        print(f"TOTAL: {total_frames} frames, "
+              f"{total_frames / total_time:.1f} fps")
+    if all_avgs:
+        print("AVG: " + "  ".join(
+            f"{k}={np.mean(v):.4f}" for k, v in sorted(all_avgs.items())))
+    return all_avgs
+
+
+def synthetic_sequences(cfg, count: int = 4, num_frames: int = 20):
+    from captra_tpu.data.synthetic import batch_trajectories, make_trajectory
+    for s in range(count):
+        tr = make_trajectory(seed=s, obj=cfg.obj, num_frames=num_frames,
+                             num_points=cfg.num_points)
+        batch = batch_trajectories([tr])
+        yield f"synthetic/{s:04d}", batch
+
+
+def main(argv=None):
+    parser = add_args(argparse.ArgumentParser("captra-tpu track"))
+    args = parser.parse_args(argv)
+    cfg = get_config(args.config, config_overrides(args), args.config_dir)
+
+    cv, rv = load_variables(cfg, args)
+    step = build_step(cfg, cv, rv)
+
+    if args.synthetic_data:
+        sequences = synthetic_sequences(cfg)
+    else:
+        from captra_tpu.cli.train import make_dataset
+        from captra_tpu.data.loader import sequence_batches
+        ds = make_dataset(cfg, "real_test" if cfg.obj.nocs_data else "test")
+        num_frames = None if cfg.obj.nocs_data else cfg.obj.num_frames
+        sequences = sequence_batches(ds, num_frames)
+
+    track_sequences(cfg, step, sequences, save=args.save,
+                    no_eval=args.no_eval)
+
+
+if __name__ == "__main__":
+    main()

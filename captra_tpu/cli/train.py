@@ -1,0 +1,131 @@
+"""Training entry point.
+
+Functional spec: /root/reference/network/train.py (epoch loop :82-98,
+logging :34-46).  `python -m captra_tpu.cli.train --config=config_coordnet.yml
+--obj_config=obj_info_nocs.yml --obj_category=1 ...`
+
+With --synthetic_data it trains on generated trajectories (no corpus
+needed); otherwise it reads the NOCS/SAPIEN trees configured in the object
+YAML's basepath.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from os.path import join as pjoin
+
+import jax
+import numpy as np
+
+from captra_tpu.cli.args import add_args, config_overrides
+from captra_tpu.config import get_config
+from captra_tpu.data.loader import single_frame_batches
+from captra_tpu.data.synthetic import make_frame_batch
+from captra_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
+from captra_tpu.training import checkpoint as ckpt
+from captra_tpu.training.trainer import Trainer
+
+
+def setup_logger(experiment_dir: str, name: str):
+    log_dir = pjoin(experiment_dir, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    fh = logging.FileHandler(pjoin(log_dir, "log.txt"))
+    fh.setFormatter(logging.Formatter(
+        "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+    logger.addHandler(fh)
+    sh = logging.StreamHandler()
+    logger.addHandler(sh)
+    return logger
+
+
+def make_dataset(cfg, mode: str):
+    if cfg.obj.nocs_data:
+        from captra_tpu.data.nocs import NOCSDataset
+        return NOCSDataset(cfg.obj.basepath, cfg.obj.category, cfg.obj,
+                           num_points=cfg.num_points, mode=mode,
+                           radius=cfg.data_radius,
+                           perturb=cfg.perturb,
+                           truncate_length=cfg.dataset_length)
+    from captra_tpu.data.sapien import SAPIENDataset
+    return SAPIENDataset(cfg.obj.basepath, cfg.obj.category, cfg.obj,
+                         num_points=cfg.num_points, mode=mode,
+                         truncate_length=cfg.dataset_length)
+
+
+def synthetic_epoch(cfg, epoch: int, steps: int = 50):
+    for i in range(steps):
+        yield make_frame_batch(epoch * steps + i, cfg.obj,
+                               batch=cfg.batch_size,
+                               num_points=cfg.num_points)
+
+
+def main(argv=None):
+    parser = add_args(argparse.ArgumentParser("captra-tpu train"))
+    args = parser.parse_args(argv)
+    cfg = get_config(args.config, config_overrides(args), args.config_dir)
+    logger = setup_logger(cfg.experiment_dir, "train")
+    logger.info("config: %s", cfg)
+
+    # mesh size must divide the global batch
+    n_dev = args.num_devices or len(jax.devices())
+    while cfg.batch_size % n_dev:
+        n_dev -= 1
+    mesh = data_parallel_mesh(n_dev)
+    logger.info("mesh: %s devices", mesh.devices.size)
+
+    steps_per_epoch = 50 if args.synthetic_data else None
+    if not args.synthetic_data:
+        train_ds = make_dataset(cfg, "train")
+        steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    trainer = Trainer(cfg, steps_per_epoch=steps_per_epoch)
+
+    key = jax.random.PRNGKey(0)
+    example = (make_frame_batch(0, cfg.obj, batch=cfg.batch_size,
+                                num_points=cfg.num_points)
+               if args.synthetic_data else
+               next(single_frame_batches(train_ds, cfg.batch_size)))
+    state = trainer.init_state(key, example)
+
+    ckpt_dir = pjoin(cfg.experiment_dir, "ckpt")
+    start_epoch = 0
+    last = ckpt.latest_checkpoint(ckpt_dir, args.resume_epoch
+                                  if args.resume_epoch >= 0 else None)
+    if last:
+        payload = ckpt.load_checkpoint(last)
+        state = ckpt.restore_state(payload, state)
+        start_epoch = payload["epoch"] + 1
+        logger.info("resumed from %s (epoch %d)", last, start_epoch)
+
+    state = replicate(state, mesh)
+
+    for epoch in range(start_epoch, cfg.optim.total_epoch):
+        trainer.set_epoch(epoch)
+        if args.synthetic_data:
+            batches = synthetic_epoch(cfg, epoch, steps_per_epoch)
+        else:
+            batches = single_frame_batches(train_ds, cfg.batch_size,
+                                           seed=epoch)
+        t0 = time.time()
+        sums, count = {}, 0
+        for batch in batches:
+            key, sub = jax.random.split(key)
+            state, loss_dict, metrics = trainer.train_step(
+                state, shard_batch(batch, mesh), sub)
+            for k, v in {**loss_dict, **metrics}.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        for k in sorted(sums):
+            logger.info("Train epoch %d %s is %.6f", epoch, k,
+                        sums[k] / max(count, 1))
+        logger.info("epoch %d: %d steps in %.1fs", epoch, count,
+                    time.time() - t0)
+        ckpt.save_checkpoint(ckpt_dir, epoch, state)
+    return state
+
+
+if __name__ == "__main__":
+    main()

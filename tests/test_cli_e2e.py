@@ -1,0 +1,104 @@
+"""End-to-end CLI slice on synthetic data (SURVEY.md §7 step 4): train a
+tiny CoordNet + RotationNet for an epoch each, compose their checkpoints,
+track synthetic trajectories, save results, evaluate."""
+import os
+from os.path import join as pjoin
+
+import numpy as np
+import pytest
+
+TINY_POINTNET = """\
+sa1:
+  npoint: 32
+  radius_list: [0.1, 0.2]
+  nsample_list: [8, 16]
+  mlp_list:
+    - [8, 16]
+    - [8, 16]
+sa2:
+  npoint: 8
+  radius_list: [0.4]
+  nsample_list: [8]
+  mlp_list:
+    - [16, 32]
+sa3:
+  mlp: [32, 64]
+fp3:
+  mlp: [32]
+fp2:
+  mlp: [32]
+fp1:
+  mlp: [32]
+"""
+
+
+@pytest.fixture
+def config_dir(tmp_path):
+    """Bundled configs + a tiny pointnet, via the config_dir override."""
+    import shutil
+    from captra_tpu.config.loader import DEFAULTS_DIR
+    d = tmp_path / "configs"
+    shutil.copytree(DEFAULTS_DIR, d)
+    (d / "pointnet_config" / "pointnet2_tiny.yml").write_text(TINY_POINTNET)
+    return str(d)
+
+
+def _common_args(config_dir, exp_dir, extra=()):
+    return [
+        "--config_dir", config_dir,
+        "--experiment_dir", exp_dir,
+        "--obj_config", "obj_info_sapien.yml",
+        "--obj_category", "laptop",
+        "--pointnet_cfg/camera", "pointnet2_tiny.yml",
+        "--num_points", "128",
+        "--batch_size", "2",
+        "--network/backbone_out_dim", "32",
+        "--synthetic_data",
+        *extra,
+    ]
+
+
+def test_full_pipeline(config_dir, tmp_path, monkeypatch):
+    from captra_tpu.cli import evaluate as eval_cli
+    from captra_tpu.cli import track as track_cli
+    from captra_tpu.cli import train as train_cli
+
+    coord_dir = str(tmp_path / "coord_exp")
+    rot_dir = str(tmp_path / "rot_exp")
+
+    # 1 epoch each, few steps (monkeypatch the synthetic epoch length)
+    monkeypatch.setattr(train_cli, "synthetic_epoch",
+                        lambda cfg, epoch, steps=50: iter(
+                            [train_cli.make_frame_batch(
+                                epoch * 3 + i, cfg.obj, batch=2,
+                                num_points=128) for i in range(3)]))
+
+    train_cli.main(_common_args(config_dir, coord_dir,
+                                ["--config", "config_coordnet.yml",
+                                 "--total_epoch", "1"]))
+    assert os.path.exists(pjoin(coord_dir, "ckpt", "model_0000"))
+
+    train_cli.main(_common_args(config_dir, rot_dir,
+                                ["--config", "config_rotnet.yml",
+                                 "--total_epoch", "1"]))
+    assert os.path.exists(pjoin(rot_dir, "ckpt", "model_0000"))
+
+    # tracking with composed checkpoints
+    track_cli.main(_common_args(config_dir, rot_dir,
+                                ["--config", "config_track.yml",
+                                 "--coord_exp/dir", coord_dir,
+                                 "--init_frame/gt", "true",
+                                 "--save"]))
+    results = pjoin(rot_dir, "results", "data")
+    assert len(os.listdir(results)) == 4  # 4 synthetic trajectories
+
+    # offline evaluation over the saved pickles
+    eval_cli.main(_common_args(config_dir, rot_dir,
+                               ["--config", "config_track.yml", "--no_iou"]))
+    assert os.path.exists(pjoin(rot_dir, "results", "err.csv"))
+    import pickle
+    with open(pjoin(rot_dir, "results", "err.pkl"), "rb") as f:
+        err = pickle.load(f)
+    row = next(iter(err.values()))
+    assert "rdiff_0" in row and "theta_diff_0" in row
+    assert np.isfinite(list(row.values())).all()
