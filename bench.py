@@ -33,6 +33,8 @@ def _cfg():
     return get_config("config_track.yml", overrides={
         "obj_config": "obj_info_nocs.yml", "obj_category": "1",
         "init_frame/gt": True,
+        "network/compute_dtype": os.environ.get("CAPTRA_BENCH_DTYPE",
+                                                "bfloat16"),
     })
 
 

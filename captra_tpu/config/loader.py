@@ -117,6 +117,7 @@ def get_config(config: str = "config_track.yml",
         backbone_out_dim=int(net_raw.get("backbone_out_dim", 128)),
         nocs_head_dims=tuplify(net_raw.get("nocs_head_dims", [128])),
         pwm_num=int(net_raw.get("pwm_num", 128)),
+        compute_dtype=str(net_raw.get("compute_dtype", "float32")),
     )
 
     pp = raw.get("pose_perturb", {})

@@ -80,6 +80,9 @@ class NetworkCfg:
     backbone_out_dim: int = 128
     nocs_head_dims: tuple[int, ...] = (128,)
     pwm_num: int = 128
+    # MXU compute dtype for the backbone/heads ("bfloat16" on TPU for ~2x
+    # bandwidth; pose math stays float32 regardless)
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,7 @@ class SetAbstractionMsg(nn.Module):
     (reference PointNetSetAbstractionMsg, pointnet_utils.py:191-250)."""
     cfg: SAMsgCfg
     bn_momentum: float = 0.9
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = False):
@@ -49,7 +50,7 @@ class SetAbstractionMsg(nn.Module):
             idx = ops.ball_query(radius, k, xyz, new_xyz)
             g = _group(xyz, feats, idx, new_xyz)  # [B, S, K, D+3]
             g = PointMLP(mlp, norm="bn", final_acti="relu", last_norm=True,
-                         bn_momentum=self.bn_momentum,
+                         bn_momentum=self.bn_momentum, dtype=self.dtype,
                          name=f"scale_{i}")(g, train=train)
             outs.append(jnp.max(g, axis=2))  # [B, S, C]
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -60,12 +61,14 @@ class SetAbstractionAll(nn.Module):
     group_all=True, pointnet_utils.py:302-343): xyz first, then features."""
     mlp: tuple
     bn_momentum: float = 0.9
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = False):
         g = xyz if feats is None else jnp.concatenate([xyz, feats], axis=-1)
         g = PointMLP(self.mlp, norm="bn", final_acti="relu", last_norm=True,
-                     bn_momentum=self.bn_momentum, name="mlp")(g, train=train)
+                     bn_momentum=self.bn_momentum, dtype=self.dtype,
+                     name="mlp")(g, train=train)
         new_xyz = jnp.zeros_like(xyz[:, :1])
         return new_xyz, jnp.max(g, axis=1, keepdims=True)  # [B, 1, C]
 
@@ -75,6 +78,7 @@ class FeaturePropagation(nn.Module):
     PointNetFeaturePropagation, pointnet_utils.py:253-299)."""
     mlp: tuple
     bn_momentum: float = 0.9
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, train: bool = False):
@@ -93,7 +97,7 @@ class FeaturePropagation(nn.Module):
             [feats1, interp], axis=-1)
         return PointMLP(self.mlp, norm="bn", final_acti="relu",
                         last_norm=True, bn_momentum=self.bn_momentum,
-                        name="mlp")(x, train=train)
+                        dtype=self.dtype, name="mlp")(x, train=train)
 
 
 class PointNet2Msg(nn.Module):
@@ -107,6 +111,7 @@ class PointNet2Msg(nn.Module):
     out_dim: int = 128
     use_xyz_feat: bool = False
     bn_momentum: float = 0.9
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -114,21 +119,21 @@ class PointNet2Msg(nn.Module):
         l0_feats = xyz if self.use_xyz_feat else None
 
         l1_xyz, l1 = SetAbstractionMsg(self.cfg.sa1, self.bn_momentum,
-                                       name="sa1")(l0_xyz, l0_feats, train)
+                                       self.dtype, name="sa1")(l0_xyz, l0_feats, train)
         l2_xyz, l2 = SetAbstractionMsg(self.cfg.sa2, self.bn_momentum,
-                                       name="sa2")(l1_xyz, l1, train)
+                                       self.dtype, name="sa2")(l1_xyz, l1, train)
         l3_xyz, l3 = SetAbstractionAll(self.cfg.sa3_mlp, self.bn_momentum,
-                                       name="sa3")(l2_xyz, l2, train)
+                                       self.dtype, name="sa3")(l2_xyz, l2, train)
 
         l2 = FeaturePropagation(self.cfg.fp3_mlp, self.bn_momentum,
-                                name="fp3")(l2_xyz, l3_xyz, l2, l3, train)
+                                self.dtype, name="fp3")(l2_xyz, l3_xyz, l2, l3, train)
         l1 = FeaturePropagation(self.cfg.fp2_mlp, self.bn_momentum,
-                                name="fp2")(l1_xyz, l2_xyz, l1, l2, train)
+                                self.dtype, name="fp2")(l1_xyz, l2_xyz, l1, l2, train)
         l0_in = l0_xyz if l0_feats is None else jnp.concatenate(
             [l0_xyz, l0_feats], axis=-1)
         l0 = FeaturePropagation(self.cfg.fp1_mlp, self.bn_momentum,
-                                name="fp1")(l0_xyz, l1_xyz, l0_in, l1, train)
+                                self.dtype, name="fp1")(l0_xyz, l1_xyz, l0_in, l1, train)
 
         return PointMLP((self.out_dim,), norm="bn", final_acti="relu",
                         last_norm=True, bn_momentum=self.bn_momentum,
-                        name="out")(l0, train=train)
+                        dtype=self.dtype, name="out")(l0, train=train)

@@ -45,23 +45,27 @@ class PointMLP(nn.Module):
     last_norm: bool = False
     dropout: float | None = None
     bn_momentum: float = 0.9  # flax convention (= 1 - torch 0.1)
+    dtype: jnp.dtype | None = None  # compute dtype (bfloat16 on TPU)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, d in enumerate(self.dims):
             last = i == len(self.dims) - 1
-            x = nn.Dense(d, kernel_init=xavier, name=f"dense_{i}")(x)
+            x = nn.Dense(d, kernel_init=xavier, dtype=self.dtype,
+                         name=f"dense_{i}")(x)
             if self.dropout and not last:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
             norm = self.norm if (not last or self.last_norm) else "none"
             if norm == "bn":
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=self.bn_momentum,
+                                 momentum=self.bn_momentum, dtype=self.dtype,
                                  name=f"norm_{i}")(x)
             elif norm == "gn":
                 # reference GroupNorm uses 2 channels per group
-                # (blocks.py:69-73)
+                # (blocks.py:69-73); statistics in f32 regardless of dtype
                 x = nn.GroupNorm(num_groups=None, group_size=2,
-                                 name=f"norm_{i}")(x)
+                                 dtype=self.dtype, name=f"norm_{i}")(x)
             x = _activation("relu" if not last else self.final_acti)(x)
         return x

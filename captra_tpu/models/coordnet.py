@@ -31,16 +31,22 @@ class CoordNet(nn.Module):
     def __call__(self, canon_points: jnp.ndarray, train: bool = False):
         """canon_points: [B, N, 3] already canonicalized camera points."""
         net = self.cfg.network
+        dtype = jnp.dtype(net.compute_dtype) \
+            if net.compute_dtype != "float32" else None
         feat = PointNet2Msg(self.cfg.pointnet, net.backbone_out_dim,
                             use_xyz_feat=True, bn_momentum=self.bn_momentum,
-                            name="backbone")(canon_points, train=train)
+                            dtype=dtype, name="backbone")(canon_points,
+                                                          train=train)
         seg_logits = PointMLP((self.cfg.obj.num_seg,), norm="none",
-                              final_acti="none", name="seg_head")(feat, train)
-        seg = jax.nn.softmax(seg_logits, axis=-1)
+                              final_acti="none", dtype=dtype,
+                              name="seg_head")(feat, train)
+        # probabilities and coordinates leave the net in f32
+        seg = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
         nocs = PointMLP(tuple(net.nocs_head_dims) + (3 * self.cfg.obj.num_parts,),
-                        norm="bn", final_acti="sigmoid",
-                        bn_momentum=self.bn_momentum,
-                        name="nocs_head")(feat, train) - 0.5
+                        norm="bn", final_acti="none",
+                        bn_momentum=self.bn_momentum, dtype=dtype,
+                        name="nocs_head")(feat, train)
+        nocs = jax.nn.sigmoid(nocs.astype(jnp.float32)) - 0.5
         return {"seg": seg, "nocs": nocs}
 
 

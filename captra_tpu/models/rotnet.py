@@ -30,6 +30,7 @@ class RotationRegressor(nn.Module):
     blocks.py:168-193).  One head per part via nn.vmap with split params."""
     num_parts: int
     sym: bool
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
@@ -42,7 +43,8 @@ class RotationRegressor(nn.Module):
             split_rngs={"params": True},
         )
         raw = head((512, 512, 256, rot_dim), norm="gn", final_acti="none",
-                   name="heads")(feat)  # [B, P, N, rot_dim]
+                   dtype=self.dtype, name="heads")(feat)  # [B, P, N, rot_dim]
+        raw = raw.astype(jnp.float32)  # rotation decode stays f32
         if self.sym:
             return rot.normalize_vector(raw)  # unit y-vec per point
         R = rot.ortho6d_to_matrix(raw)  # [B, P, N, 3, 3]
@@ -66,13 +68,15 @@ class RotNet(nn.Module):
                  train: bool = False):
         B, P, N, _ = canon_parts.shape
         obj = self.cfg.obj
+        dtype = jnp.dtype(self.cfg.network.compute_dtype) \
+            if self.cfg.network.compute_dtype != "float32" else None
         flat = canon_parts.reshape(B * P, N, 3)
         feat = PointNet2Msg(self.cfg.pointnet,
                             self.cfg.network.backbone_out_dim,
                             use_xyz_feat=False, bn_momentum=self.bn_momentum,
-                            name="encoder")(flat, train=train)
+                            dtype=dtype, name="encoder")(flat, train=train)
         feat = feat.reshape(B, P, N, -1)
-        point_rtvec = RotationRegressor(obj.num_parts, obj.sym,
+        point_rtvec = RotationRegressor(obj.num_parts, obj.sym, dtype=dtype,
                                         name="regressor")(feat)
 
         # masked mean over in-part points (networks.py:127-138)
