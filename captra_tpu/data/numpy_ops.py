@@ -28,6 +28,13 @@ def farthest_point_sample(xyz: np.ndarray, npoint: int,
 
 
 def _fps_exact(xyz: np.ndarray, npoint: int, rng) -> np.ndarray:
+    from captra_tpu.data import native
+    if native.available():
+        return native.fps(xyz, npoint)
+    return _fps_numpy(xyz, npoint, rng)
+
+
+def _fps_numpy(xyz: np.ndarray, npoint: int, rng) -> np.ndarray:
     n = len(xyz)
     centroids = np.zeros(npoint, dtype=np.int64)
     distance = np.full(n, 1e10)
