@@ -51,14 +51,49 @@ def init_pose_from_gt(key: jax.Array, gt_pose: Pose, cfg: Config) -> Pose:
                              kind=cfg.perturb.kind)
 
 
-def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable):
+def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
+                    intrinsics=None):
     """Build the scan step: carry = Pose [B, P], frame = dict with
-    points [B, N, 3] (raw camera) and optional labels [B, N]."""
+    points [B, N, 3] (raw camera) and optional labels [B, N].
+
+    With cfg.track.nocs_otf, frames instead carry raw sensor data —
+    depth [B, H, W] (int units), mask [B, H, W] and a per-frame PRNG
+    key [2] — and the crop happens **inside the scan** from the carried
+    pose (the reference round-trips to CPU per frame for this,
+    model.py:426-447; here it is one fused on-device step).
+    """
     obj = cfg.obj
     root = tree_root(obj.tree)
 
+    def otf_points(pose: Pose, frame: dict):
+        from captra_tpu.data.preprocess import (
+            NOCS_REAL_INTRINSICS, backproject_depth, crop_ball,
+        )
+        K = intrinsics if intrinsics is not None else NOCS_REAL_INTRINSICS
+        center = pose.translation[:, root, :, 0]          # [B, 3]
+        radius = cfg.data_radius * pose.scale[:, root]    # [B]
+        B = frame["depth"].shape[0]
+        # frame["key"]: scalar int32 per frame (e.g. the frame index)
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(0), frame["key"]), B)
+
+        def one(k, depth, mask, c, r):
+            pts, valid = backproject_depth(depth, K)
+            points, idx = crop_ball(k, pts, valid, c, r, cfg.num_points)
+            labels = 1 - mask.reshape(-1)[idx].astype(jnp.int32)
+            return points, labels
+
+        return jax.vmap(one)(keys, frame["depth"], frame["mask"], center,
+                             radius)
+
     def step(pose: Pose, frame: dict):
-        points_raw = frame["points"]
+        if cfg.track.nocs_otf:
+            points_raw, otf_labels = otf_points(pose, frame)
+            frame = dict(frame)
+            frame["points"] = points_raw
+            frame["labels"] = otf_labels
+        else:
+            points_raw = frame["points"]
         points_mean = jnp.mean(points_raw, axis=1)       # [B, 3]
         points = points_raw - points_mean[:, None]
 
