@@ -1,0 +1,63 @@
+import numpy as np
+
+from captra_tpu.utils.misc import (
+    Timer, add_dict, divide_dict, get_ith_from_batch, log_loss_summary,
+)
+
+
+def test_add_divide_dict():
+    total = {}
+    add_dict(total, {"a": 1.0, "b": {"c": 2.0}})
+    add_dict(total, {"a": 3.0, "b": {"c": 4.0}})
+    assert total == {"a": 4.0, "b": {"c": 6.0}}
+    assert divide_dict(total, 2) == {"a": 2.0, "b": {"c": 3.0}}
+
+
+def test_log_loss_summary(capsys):
+    out = []
+    log_loss_summary({"x": 4.0, "nested": {"y": 2.0}}, 2,
+                     lambda k, v: out.append((k, v)))
+    assert ("x", 2.0) in out and ("nested_y", 1.0) in out
+
+
+def test_timer():
+    t = Timer(True)
+    dt = t.tick()
+    assert dt >= 0.0
+    assert Timer(False).tick() == 0.0
+
+
+def test_get_ith_from_batch():
+    data = {"a": np.arange(6).reshape(3, 2), "b": [np.ones((3,))]}
+    out = get_ith_from_batch(data, 1)
+    np.testing.assert_array_equal(out["a"], [2, 3])
+    assert out["b"][0] == 1.0
+
+
+def test_visualize_results_dir(tmp_path, rng):
+    import jax.numpy as jnp
+    from captra_tpu.tracking.results import save_track_result
+    from captra_tpu.eval.visualize import visualize_results_dir
+    from tests.test_models import _make_pose
+
+    T, P = 3, 1
+    gt = _make_pose(rng, T, P)
+    corners = np.tile(np.array([[[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]]],
+                               np.float32), (P, 1, 1))
+    save_track_result(str(tmp_path), "x_0", gt, gt,
+                      np.tile(corners, (T, 1, 1, 1)), corners)
+    written = visualize_results_dir(str(tmp_path))
+    assert len(written) >= 1
+    import os
+    assert all(os.path.exists(p) for p in written)
+
+
+def test_draw_boxes_on_image(rng):
+    from captra_tpu.eval.visualize import draw_boxes_on_image
+    img = np.zeros((480, 640, 3), np.uint8)
+    box = np.array([[[-.1, -.1, -1.], [-.1, -.1, -.8], [.1, -.1, -1.],
+                     [.1, -.1, -.8], [-.1, .1, -1.], [-.1, .1, -.8],
+                     [.1, .1, -1.], [.1, .1, -.8]]])
+    K = np.array([[577.5, 0, 319.5], [0, 577.5, 239.5], [0, 0, 1]])
+    out = draw_boxes_on_image(img, box, K)
+    assert out.sum() > 0  # something was drawn
