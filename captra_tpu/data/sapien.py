@@ -216,10 +216,16 @@ class SAPIENDataset:
         return file_list
 
     def _load_model_info(self, instance: str) -> dict:
+        """Precomputed pickle if present, else parse the URDF + meshes
+        (reference generate_instance_info, arti_data_process.py:129-148)."""
         path = pjoin(self.root_dset, "model_info", self.obj_category,
                      f"{instance}.pkl")
-        with open(path, "rb") as f:
-            return pickle.load(f)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        from captra_tpu.data.urdf import generate_instance_info
+        return generate_instance_info(self.root_dset, self.obj_category,
+                                      instance)
 
     def model_info(self, instance: str) -> dict:
         if instance not in self.model_info_cache:
