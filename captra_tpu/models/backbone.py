@@ -47,8 +47,7 @@ class SetAbstractionMsg(nn.Module):
         for i, (radius, k, mlp) in enumerate(zip(
                 self.cfg.radius_list, self.cfg.nsample_list,
                 self.cfg.mlp_list)):
-            idx = ops.ball_query(radius, k, xyz, new_xyz)
-            g = _group(xyz, feats, idx, new_xyz)  # [B, S, K, D+3]
+            g = ops.ball_group(radius, k, xyz, new_xyz, feats)
             g = PointMLP(mlp, norm="bn", final_acti="relu", last_norm=True,
                          bn_momentum=self.bn_momentum, dtype=self.dtype,
                          name=f"scale_{i}")(g, train=train)

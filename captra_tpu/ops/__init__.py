@@ -1,4 +1,5 @@
 from captra_tpu.ops.pointops import (  # noqa: F401
+    ball_group,
     ball_query,
     farthest_point_sample,
     gather_points,

@@ -1,0 +1,9 @@
+#!/bin/bash
+# CoordNet + RotationNet training for NOCS bottle (reference
+# scripts/train/nocs/1_bottle.sh equivalent)
+python -m captra_tpu.cli.train --config=config_coordnet.yml \
+    --obj_config=obj_info_nocs.yml --obj_category=1 \
+    --experiment_dir=runs/1_bottle_coord "$@"
+python -m captra_tpu.cli.train --config=config_rotnet.yml \
+    --obj_config=obj_info_nocs.yml --obj_category=1 \
+    --experiment_dir=runs/1_bottle_rot "$@"

@@ -1,0 +1,7 @@
+#!/bin/bash
+python -m captra_tpu.cli.train --config=config_coordnet.yml \
+    --obj_config=obj_info_sapien.yml --obj_category=scissors \
+    --experiment_dir=runs/scissors_coord "$@"
+python -m captra_tpu.cli.train --config=config_rotnet.yml \
+    --obj_config=obj_info_sapien.yml --obj_category=scissors \
+    --experiment_dir=runs/scissors_rot "$@"

@@ -171,3 +171,57 @@ def test_ops_differentiable(rng):
     for i in np.asarray(idx).ravel():
         counts[i] += 1
     assert (np.asarray(jnp.abs(g).sum(axis=1))[0] > 0).sum() == (counts > 0).sum()
+
+
+def test_ball_group_exact_matches_manual(rng):
+    """ball_group('exact') == ball_query + gather + recenter."""
+    xyz = rng.rand(2, 64, 3).astype(np.float32)
+    feats = rng.randn(2, 64, 5).astype(np.float32)
+    new_xyz = xyz[:, :8]
+    g = np.asarray(ops.ball_group(0.3, 16, jnp.asarray(xyz),
+                                  jnp.asarray(new_xyz), jnp.asarray(feats),
+                                  method="exact"))
+    idx = np.asarray(ops.ball_query(0.3, 16, jnp.asarray(xyz),
+                                    jnp.asarray(new_xyz), method="exact"))
+    for b in range(2):
+        for s in range(8):
+            want_f = feats[b, idx[b, s]]
+            want_x = xyz[b, idx[b, s]] - new_xyz[b, s]
+            np.testing.assert_allclose(g[b, s, :, :5], want_f, atol=1e-6)
+            np.testing.assert_allclose(g[b, s, :, 5:], want_x, atol=1e-6)
+
+
+def test_ball_group_bucket_semantics(rng):
+    """Bucket method: every emitted row is a real point within the radius
+    (or the first-hit pad), re-centered on the query."""
+    B, N, S, K, r = 2, 64, 8, 16, 0.35
+    xyz = rng.rand(B, N, 3).astype(np.float32)
+    feats = rng.randn(B, N, 4).astype(np.float32)
+    new_xyz = xyz[:, :S]
+    g = np.asarray(ops.ball_group(r, K, jnp.asarray(xyz),
+                                  jnp.asarray(new_xyz), jnp.asarray(feats),
+                                  method="bucket"))
+    assert g.shape == (B, S, K, 7)
+    src = np.concatenate([feats, xyz], axis=-1)
+    for b in range(B):
+        for s in range(S):
+            rows = np.concatenate(
+                [g[b, s, :, :4], g[b, s, :, 4:] + new_xyz[b, s]], axis=-1)
+            # each row must equal some source point's row
+            d = np.linalg.norm(rows[:, None] - src[b][None], axis=-1)
+            src_match = d.argmin(-1)
+            assert d.min(-1).max() < 1e-5
+            # and every matched point is inside the ball (queries always
+            # have hits here: the query is its own neighbor)
+            dist = np.linalg.norm(xyz[b, src_match] - new_xyz[b, s], axis=-1)
+            assert (dist <= r + 1e-6).all()
+
+
+def test_ball_group_bucket_no_hits(rng):
+    xyz = (rng.rand(1, 32, 3) + 100).astype(np.float32)
+    new_xyz = np.zeros((1, 2, 3), np.float32)
+    g = np.asarray(ops.ball_group(0.1, 8, jnp.asarray(xyz),
+                                  jnp.asarray(new_xyz), method="bucket"))
+    # zero hits -> pad with point 0 (reference rule)
+    want = np.broadcast_to(xyz[0, 0] - 0.0, (2, 8, 3))
+    np.testing.assert_allclose(g[0], want, atol=1e-5)
