@@ -29,6 +29,8 @@ def cyclic(make_iter):
 
 
 def main(argv=None):
+    from captra_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     parser = add_args(argparse.ArgumentParser("captra-tpu finetune"))
     parser.add_argument("--syn_n", type=int, default=1,
                         help="synthetic batches per real batch per epoch")

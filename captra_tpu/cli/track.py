@@ -111,6 +111,8 @@ def synthetic_sequences(cfg, count: int = 4, num_frames: int = 20):
 
 
 def main(argv=None):
+    from captra_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     parser = add_args(argparse.ArgumentParser("captra-tpu track"))
     args = parser.parse_args(argv)
     cfg = get_config(args.config, config_overrides(args), args.config_dir)

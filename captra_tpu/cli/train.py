@@ -64,6 +64,8 @@ def synthetic_epoch(cfg, epoch: int, steps: int = 50):
 
 
 def main(argv=None):
+    from captra_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     parser = add_args(argparse.ArgumentParser("captra-tpu train"))
     args = parser.parse_args(argv)
     cfg = get_config(args.config, config_overrides(args), args.config_dir)

@@ -92,13 +92,38 @@ def get_obj2norm_pose(corner, factor) -> np.ndarray:
 _PERMUTATION = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float64)
 
 
-def opengl_depth_to_points(cloud_dict: dict):
-    """OpenGL depth buffer -> camera points + per-pixel seg labels."""
+def perturb_depth(depth: np.ndarray, mask: np.ndarray, rng=None,
+                  sigma: float = 0.000075, noise_prob: float = 0.5,
+                  max_ksize: int = 6) -> np.ndarray:
+    """Depth-sensor noise simulation: per-pixel gaussian noise + gaussian
+    blur (reference gaussian_noise/gaussian_blur,
+    arti_data_process.py:16-30).  Points displaced > 5 cm by the
+    perturbation get relabeled as clutter by the caller
+    (arti_data_process.py:53-58)."""
+    rng = rng or np.random
+    depth = depth.copy()
+    prob_mask = rng.uniform(size=depth.shape) < noise_prob
+    m = np.bitwise_and(prob_mask, mask)
+    std = rng.uniform(0, sigma)
+    depth[m] += rng.normal(0, std, size=depth.shape)[m]
+    try:
+        import cv2
+        ksize = 2 * rng.randint(1, max_ksize // 2 + 1) + 1
+        depth = cv2.GaussianBlur(depth, (ksize, ksize), sigmaX=0.2)
+    except ImportError:
+        pass
+    return depth
+
+
+def opengl_depth_to_points(cloud_dict: dict, pixel_mask=None):
+    """OpenGL depth buffer -> camera points + per-pixel seg labels.
+    `pixel_mask` pins the pixel set (used when re-reading perturbed depth so
+    points stay aligned, reference arti_data_process.py:44-58)."""
     depth = np.asarray(cloud_dict["depth"])
     seg_img = np.asarray(cloud_dict["seg"])
     camera_matrix = np.asarray(cloud_dict["camera_matrix"])
     near, far = cloud_dict["near"], cloud_dict["far"]
-    mask = depth < 1
+    mask = (depth < 1) if pixel_mask is None else pixel_mask
     y, x = np.where(mask)
     z = near * far / (far + depth[y, x] * (near - far))
     uv1 = np.stack([x, y, np.ones_like(x)], axis=0) * z
@@ -108,12 +133,23 @@ def opengl_depth_to_points(cloud_dict: dict):
 
 def read_cloud(cloud_dict: dict, num_points: int, min_dis: float = 2.0,
                synthetic: bool = False, num_parts: int | None = None,
-               rng=None):
+               rng=None, perturb: bool = False):
     """Depth -> FPS-downsampled cloud with per-part minimum-coverage fixup
-    (reference read_cloud, arti_data_process.py:33-91; the gaussian noise /
-    blur perturbation lives in `perturb_depth`)."""
+    (reference read_cloud, arti_data_process.py:33-91).  With `perturb`,
+    sensor noise is simulated and points displaced > 5 cm are relabeled as
+    clutter (arti_data_process.py:53-58)."""
     rng = rng or np.random
     cam_points, seg = opengl_depth_to_points(cloud_dict)
+    if perturb:
+        depth = np.asarray(cloud_dict["depth"])
+        pert = dict(cloud_dict)
+        pert["depth"] = perturb_depth(depth.astype(np.float64),
+                                      depth < 1, rng)
+        pert_points, _ = opengl_depth_to_points(pert, pixel_mask=depth < 1)
+        displaced = np.linalg.norm(cam_points - pert_points, axis=-1) > 0.05
+        seg = seg.copy()
+        seg[displaced] = seg.max() - 1
+        cam_points = pert_points
     if not synthetic:
         keep = cam_points[:, 0] < min_dis
         cam_points, seg = cam_points[keep], seg[keep]

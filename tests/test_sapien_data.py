@@ -139,3 +139,15 @@ def test_sapien_dataset(fake_sapien_root):
                              mode="train", synthetic=True,
                              model_info_loader=lambda ins: _model_info())
     assert len(ds_train) == 2
+
+
+def test_read_cloud_perturb(rng):
+    from captra_tpu.data.sapien import read_cloud
+    cd = _fake_cloud_dict(rng)
+    pts0, seg0 = read_cloud(cd, 128, synthetic=True, num_parts=2,
+                            rng=np.random.RandomState(0))
+    pts1, seg1 = read_cloud(cd, 128, synthetic=True, num_parts=2,
+                            rng=np.random.RandomState(0), perturb=True)
+    assert pts1.shape == (128, 3)
+    # perturbation moves points but keeps them in the same ballpark
+    assert np.abs(pts1).max() < np.abs(pts0).max() * 3 + 1.0
