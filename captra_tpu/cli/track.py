@@ -63,9 +63,14 @@ def track_sequences(cfg, step, sequences, save: bool = False,
         gt = batch["pose"]
         key, sub = jax.random.split(key)
         init_pose = init_pose_from_gt(sub, gt[0], cfg)
-        frames = {"points": batch["points"]}
-        if cfg.track.gt_label:
-            frames["labels"] = batch["labels"]
+        if cfg.track.nocs_otf and "depth" in batch:
+            T = batch["depth"].shape[0]
+            frames = {"depth": batch["depth"], "mask": batch["mask"],
+                      "key": jnp.arange(T, dtype=jnp.int32)}
+        else:
+            frames = {"points": batch["points"]}
+            if cfg.track.gt_label:
+                frames["labels"] = batch["labels"]
         t0 = time.perf_counter()
         final, aux = run(init_pose, frames)
         jax.block_until_ready(aux.pose.scale)

@@ -49,9 +49,15 @@ def collate_frames(items: Sequence[dict]) -> dict:
     )
     corners = np.stack([np.asarray(it["meta"]["nocs_corners"], np.float32)
                         .reshape(-1, 2, 3) for it in items])
-    return {"points": jnp.asarray(points), "labels": jnp.asarray(labels),
-            "nocs": jnp.asarray(nocs), "pose": pose,
-            "corners": jnp.asarray(corners)}
+    out = {"points": jnp.asarray(points), "labels": jnp.asarray(labels),
+           "nocs": jnp.asarray(nocs), "pose": pose,
+           "corners": jnp.asarray(corners)}
+    if all("pre_fetched" in it["meta"] for it in items):
+        out["depth"] = jnp.asarray(np.stack(
+            [it["meta"]["pre_fetched"]["depth"] for it in items]))
+        out["mask"] = jnp.asarray(np.stack(
+            [it["meta"]["pre_fetched"]["mask"] for it in items]))
+    return out
 
 
 def single_frame_batches(dataset, batch_size: int, shuffle: bool = True,

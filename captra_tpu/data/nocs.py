@@ -172,7 +172,32 @@ class NOCSDataset:
         }
         if "real" in self.mode:
             meta["depth_path"] = cloud_dict.get("path", "")
+            pre = self._pre_fetch(meta["depth_path"], instance)
+            if pre is not None:
+                meta["pre_fetched"] = pre
         return {"data": data, "meta": meta}
+
+    def _pre_fetch(self, depth_path: str, instance: str):
+        """Depth + instance mask for the OTF tracking path (reference
+        nocs_dataset.py:74-89): mask pixels equal the instance's meta.txt
+        number."""
+        if not depth_path or not os.path.exists(depth_path):
+            return None
+        try:
+            import cv2
+            depth = cv2.imread(depth_path, -1)
+            meta_path = depth_path.replace("depth.png", "meta.txt")
+            inst_num = -1
+            with open(meta_path) as f:
+                for line in f:
+                    inst_num = int(line.split()[0])
+                    if line.split()[-1] == instance:
+                        break
+            mask_img = cv2.imread(depth_path.replace("depth", "mask"))
+            mask = mask_img[:, :, 2] == inst_num
+            return {"depth": depth.astype(np.int32), "mask": mask}
+        except Exception:
+            return None
 
     def track_index(self) -> dict[str, list[int]]:
         """Group frame indices by (instance, track) in order — the sequence

@@ -147,3 +147,53 @@ def test_base_generate_data_matches_reference_semantics(rng):
     expected = ((pts[obj] - pose["translation"].reshape(1, 3)) /
                 pose["scale"]) @ pose["rotation"]
     np.testing.assert_allclose(out["nocs"][obj], expected, atol=1e-5)
+
+
+def test_real_prefetch_and_otf_batches(tmp_path, rng):
+    """Real-mode frames pre-fetch depth + instance masks; sequence batches
+    expose them for the in-scan OTF crop."""
+    cv2 = pytest.importorskip("cv2")
+    root = str(tmp_path)
+    H, W = 48, 64
+    # depth/mask/meta files the cloud_dict paths will reference
+    raw = pjoin(root, "raw", "scene_1")
+    os.makedirs(raw)
+    for f in range(2):
+        depth = rng.randint(500, 2000, (H, W)).astype(np.uint16)
+        cv2.imwrite(pjoin(raw, f"{f:04d}_depth.png"), depth)
+        mask = np.zeros((H, W, 3), np.uint8)
+        mask[10:20, 10:20, 2] = 7  # instance number 7
+        cv2.imwrite(pjoin(raw, f"{f:04d}_mask.png"), mask)
+        with open(pjoin(raw, f"{f:04d}_meta.txt"), "w") as fh:
+            fh.write("7 1 insA\n")
+
+    # npz tree pointing at those depth files
+    ddir = pjoin(root, "render", "real_test", "1", "insA", "scene_1", "data")
+    os.makedirs(ddir)
+    os.makedirs(pjoin(root, "model_corners"), exist_ok=True)
+    np.save(pjoin(root, "model_corners", "insA.npy"),
+            np.array([[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]]))
+    for f in range(2):
+        R, t, s = np.eye(3, dtype=np.float32), \
+            np.array([[0.0], [0.0], [-1.0]], np.float32), np.float32(0.25)
+        npcs = (rng.rand(200, 3).astype(np.float32) - 0.5) * 0.5
+        seg = np.ones(200, np.int64)
+        pts = s * npcs + t.T
+        all_dict = {"points": pts, "labels": seg,
+                    "pose": {"rotation": R, "translation": t, "scale": s},
+                    "path": pjoin(raw, f"{f:04d}_depth.png")}
+        np.savez(pjoin(ddir, f"{f:02d}.npz"), all_dict=all_dict)
+
+    from captra_tpu.config.schema import ObjCfg
+    obj = ObjCfg(category="1", num_parts=1, num_joints=0, tree=(-1,),
+                 extra_dims=1)
+    ds = NOCSDataset(root, "1", obj, num_points=64, mode="real_test")
+    item = ds[0]
+    assert "pre_fetched" in item["meta"]
+    assert item["meta"]["pre_fetched"]["depth"].shape == (H, W)
+    assert item["meta"]["pre_fetched"]["mask"].sum() == 100
+
+    seqs = dict(sequence_batches(ds))
+    batch = next(iter(seqs.values()))
+    assert batch["depth"].shape == (2, 1, H, W)
+    assert batch["mask"].shape == (2, 1, H, W)
