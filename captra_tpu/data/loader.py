@@ -35,12 +35,24 @@ def _pose_from_meta(pose_meta) -> dict:
     return {"rotation": rot, "translation": trans, "scale": scale}
 
 
-def collate_frames(items: Sequence[dict]) -> dict:
+def collate_frames(items: Sequence[dict], shuffle_points: bool = False,
+                   rng=None) -> dict:
     """List of dataset items -> batched device arrays
-    {points, labels, nocs, pose: Pose [B, P], corners [B, P, 2, 3]}."""
+    {points, labels, nocs, pose: Pose [B, P], corners [B, P, 2, 3]}.
+
+    shuffle_points permutes each frame's point order (reference `shuffle`
+    transform, data_transforms.py:3-10) — also what makes the bucketed ball
+    grouping's one-per-bucket pick a uniform subsample."""
     points = np.stack([it["data"]["points"] for it in items])
     labels = np.stack([it["data"]["labels"] for it in items])
     nocs = np.stack([it["data"]["nocs"] for it in items])
+    if shuffle_points:
+        rng = rng or np.random
+        for b in range(points.shape[0]):
+            perm = rng.permutation(points.shape[1])
+            points[b] = points[b, perm]
+            labels[b] = labels[b, perm]
+            nocs[b] = nocs[b, perm]
     poses = [_pose_from_meta(it["meta"]["pose"]) for it in items]
     pose = Pose(
         rotation=jnp.asarray(np.stack([p["rotation"] for p in poses])),
@@ -57,23 +69,35 @@ def collate_frames(items: Sequence[dict]) -> dict:
             [it["meta"]["pre_fetched"]["depth"] for it in items]))
         out["mask"] = jnp.asarray(np.stack(
             [it["meta"]["pre_fetched"]["mask"] for it in items]))
+    if all("crop_pose" in it["meta"] for it in items):
+        # perturbed crop center/scale that replaces the init pose's t/s for
+        # NOCS training (reference prepare_poses, model.py:49-58)
+        out["crop_translation"] = jnp.asarray(np.stack(
+            [np.asarray(it["meta"]["crop_pose"]["translation"],
+                        np.float32).reshape(1, 3, 1) for it in items]))
+        out["crop_scale"] = jnp.asarray(np.stack(
+            [np.float32(it["meta"]["crop_pose"]["scale"]).reshape(1)
+             for it in items]))
     return out
 
 
 def single_frame_batches(dataset, batch_size: int, shuffle: bool = True,
-                         seed: int = 0, drop_last: bool = True
-                         ) -> Iterator[dict]:
+                         seed: int = 0, drop_last: bool = True,
+                         shuffle_points: bool = True) -> Iterator[dict]:
     """Epoch iterator of collated batches (reference SingleFrameData +
-    DataLoader, dataset.py:197-205)."""
+    DataLoader, dataset.py:197-205; point shuffling per
+    data_transforms.py:3-10)."""
+    rng = np.random.RandomState(seed)
     order = np.arange(len(dataset))
     if shuffle:
-        np.random.RandomState(seed).shuffle(order)
+        rng.shuffle(order)
     for start in range(0, len(order) - (batch_size - 1 if drop_last else 0),
                        batch_size):
         idxs = order[start:start + batch_size]
         if len(idxs) < batch_size and drop_last:
             break
-        yield collate_frames([dataset[int(i)] for i in idxs])
+        yield collate_frames([dataset[int(i)] for i in idxs],
+                             shuffle_points=shuffle_points, rng=rng)
 
 
 def sequence_batches(dataset, num_frames: int | None = None

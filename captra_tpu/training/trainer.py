@@ -95,6 +95,17 @@ class TrainState:
 # loss functions (pure; used by both train and eval paths)
 # ---------------------------------------------------------------------------
 
+
+def _apply_crop_pose(init_part: Pose, batch: dict) -> Pose:
+    """Replace the init pose's t/s with the perturbed crop pose when the
+    data pipeline provides one (reference prepare_poses, model.py:49-58)."""
+    if "crop_translation" not in batch:
+        return init_part
+    t = jnp.broadcast_to(batch["crop_translation"],
+                         init_part.translation.shape)
+    s = jnp.broadcast_to(batch["crop_scale"], init_part.scale.shape)
+    return Pose(rotation=init_part.rotation, translation=t, scale=s)
+
 def _gt_bbox(corners: jnp.ndarray, sym: bool) -> jnp.ndarray:
     """corner-loss points from NPCS corners (reference model.py:164-168)."""
     if sym:
@@ -119,6 +130,7 @@ def coordnet_loss(cfg: Config, module: CoordNet, params, batch_stats,
         k_noise, gt, rot_rad=jnp.deg2rad(cfg.perturb.r),
         trans_sigma=cfg.perturb.t, scale_sigma=cfg.perturb.s,
         kind=cfg.perturb.kind)
+    init_part = _apply_crop_pose(init_part, batch)
     canon_pose = init_part[:, root]
 
     points_raw = batch["points"]
@@ -180,6 +192,7 @@ def rotnet_loss(cfg: Config, module: RotNet, params, batch_stats,
         key, gt, rot_rad=jnp.deg2rad(cfg.perturb.r),
         trans_sigma=cfg.perturb.t, scale_sigma=cfg.perturb.s,
         kind=cfg.perturb.kind)
+    init_part = _apply_crop_pose(init_part, batch)
     # canonicalization pose per part == the init pose itself
     # (model.py:229-240): supervision is the canonical-frame delta
     root_delta = compute_parts_delta_pose(init_part, gt, init_part)
