@@ -17,6 +17,15 @@ from captra_tpu.utils.precision import f32_precision
 EPS = 1e-6
 
 
+def safe_norm(x: jnp.ndarray, axis=-1) -> jnp.ndarray:
+    """L2 norm with a zero subgradient at 0 (torch.norm's backward
+    convention, which the reference losses rely on — jnp.linalg.norm's
+    gradient at 0 is NaN and poisons training, e.g. on the zero diagonal of
+    the sym pairwise-distance matrix, loss.py:111-116)."""
+    sq = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(sq + 1e-24)
+
+
 # ---------------------------------------------------------------------------
 # segmentation
 # ---------------------------------------------------------------------------
@@ -55,7 +64,7 @@ def nocs_loss(nocs_pred: jnp.ndarray, nocs_gt: jnp.ndarray,
     loss.py:42-81, confidence-free path).  nocs_pred [B, N, 3P],
     nocs_gt [B, N, 3]."""
     pred = choose_coord_by_label(nocs_pred, labels, num_parts)
-    raw = jnp.linalg.norm(pred - nocs_gt, axis=-1)  # [B, N]
+    raw = safe_norm(pred - nocs_gt, axis=-1)  # [B, N]
     mask = (labels < num_parts).astype(jnp.float32)
     return jnp.sum(raw * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -97,7 +106,7 @@ def sym_nocs_loss(key: jax.Array, nocs_pred: jnp.ndarray,
     s_gt, s_pred = gather(nocs_gt), gather(pred)
 
     def dist_mat(p):
-        return jnp.linalg.norm(p[:, :, None] - p[:, None], axis=-1)
+        return safe_norm(p[:, :, None] - p[:, None], axis=-1)
 
     pwm = jnp.mean(jnp.abs(dist_mat(s_gt) - dist_mat(s_pred)), axis=(-1, -2))
     pwm_loss = jnp.sum(pwm * valid) / jnp.maximum(jnp.sum(valid), 1.0)
@@ -135,13 +144,13 @@ def rot_yaxis_loss(rot1, rot2, metric: str = "l2") -> jnp.ndarray:
     diff = rot1[..., 1] - rot2[..., 1]
     if metric == "l2":
         return jnp.sum(diff**2, axis=-1)
-    return jnp.linalg.norm(diff, axis=-1)
+    return safe_norm(diff, axis=-1)
 
 
 def trans_loss(t1, t2, metric: str = "l1") -> jnp.ndarray:
     if metric == "l2":
         return jnp.sum((t1 - t2) ** 2, axis=(-1, -2))
-    return jnp.linalg.norm((t1 - t2)[..., 0], axis=-1)
+    return safe_norm((t1 - t2)[..., 0], axis=-1)
 
 
 def scale_loss(s1, s2, metric: str = "l1") -> jnp.ndarray:
@@ -159,7 +168,7 @@ def point_pose_loss(gt_pose: Pose, pred_pose: Pose, pts: jnp.ndarray,
     if metric == "l2":
         dist = jnp.sum(diff**2, axis=-1)
     else:
-        dist = jnp.linalg.norm(diff, axis=-1)
+        dist = safe_norm(diff, axis=-1)
     return jnp.mean(dist), dist
 
 

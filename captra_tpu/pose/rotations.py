@@ -28,8 +28,11 @@ def normalize_vector(v: jnp.ndarray, fallback=(1.0, 0.0, 0.0)) -> jnp.ndarray:
 
     Matches reference `normalize_vector` (rotations.py:302-314), which
     substitutes (1,0,0) for degenerate inputs instead of dividing by ~0.
+    The magnitude uses sqrt(sum(v^2) + tiny) so its gradient is 0 (not NaN)
+    at v = 0 — `jnp.where` does not stop NaNs produced inside the selected
+    branch's VJP.
     """
-    mag = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    mag = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-24)
     valid = mag > EPS
     backup = jnp.broadcast_to(jnp.asarray(fallback, dtype=v.dtype), v.shape)
     unit = v / jnp.maximum(mag, EPS)
