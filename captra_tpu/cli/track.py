@@ -62,7 +62,10 @@ def track_sequences(cfg, step, sequences, save: bool = False,
     for name, batch in sequences:
         gt = batch["pose"]
         key, sub = jax.random.split(key)
-        init_pose = init_pose_from_gt(sub, gt[0], cfg)
+        init_pose = init_pose_from_gt(
+            sub, gt[0], cfg,
+            crop_translation=batch.get("crop_translation", [None])[0],
+            crop_scale=batch.get("crop_scale", [None])[0])
         if cfg.track.nocs_otf and "depth" in batch:
             T = batch["depth"].shape[0]
             frames = {"depth": batch["depth"], "mask": batch["mask"],

@@ -15,23 +15,6 @@ from captra_tpu.config.schema import PointNetCfg, SAMsgCfg
 from captra_tpu.models.blocks import PointMLP
 
 
-def _group(xyz: jnp.ndarray, feats: jnp.ndarray | None, idx: jnp.ndarray,
-           new_xyz: jnp.ndarray) -> jnp.ndarray:
-    """Gather neighborhoods: xyz [B, N, 3], idx [B, S, K] -> [B, S, K, 3+D]
-    with xyz re-centered on the query point; feature channels first, then
-    relative xyz (reference PointNetSetAbstractionMsg ordering,
-    pointnet_utils.py:234-240)."""
-    B, S, K = idx.shape
-    flat = idx.reshape(B, S * K)
-    grouped_xyz = jnp.take_along_axis(xyz, flat[..., None], axis=1)
-    grouped_xyz = grouped_xyz.reshape(B, S, K, 3) - new_xyz[:, :, None]
-    if feats is None:
-        return grouped_xyz
-    grouped_feats = jnp.take_along_axis(feats, flat[..., None], axis=1)
-    grouped_feats = grouped_feats.reshape(B, S, K, feats.shape[-1])
-    return jnp.concatenate([grouped_feats, grouped_xyz], axis=-1)
-
-
 class SetAbstractionMsg(nn.Module):
     """FPS -> per-radius ball query -> grouped MLP -> max-pool, multi-scale
     (reference PointNetSetAbstractionMsg, pointnet_utils.py:191-250)."""

@@ -39,16 +39,26 @@ class TrackAux:
     nocs: jnp.ndarray          # [B, N, 3P]
 
 
-def init_pose_from_gt(key: jax.Array, gt_pose: Pose, cfg: Config) -> Pose:
-    """Frame-0 pose: GT, or GT perturbed by the configured noise
-    (reference model.py:390-400)."""
+def init_pose_from_gt(key: jax.Array, gt_pose: Pose, cfg: Config,
+                      crop_translation: jnp.ndarray | None = None,
+                      crop_scale: jnp.ndarray | None = None) -> Pose:
+    """Frame-0 pose: GT, or GT perturbed by the configured noise; when the
+    data pipeline supplies a perturbed crop pose its t/s replace the noisy
+    ones (reference model.py:390-400)."""
     if cfg.track.init_frame_gt:
         return gt_pose
-    return add_noise_to_pose(key, gt_pose,
+    pose = add_noise_to_pose(key, gt_pose,
                              rot_rad=jnp.deg2rad(cfg.perturb.r),
                              trans_sigma=cfg.perturb.t,
                              scale_sigma=cfg.perturb.s,
                              kind=cfg.perturb.kind)
+    if crop_translation is not None:
+        pose = Pose(
+            rotation=pose.rotation,
+            translation=jnp.broadcast_to(crop_translation,
+                                         pose.translation.shape),
+            scale=jnp.broadcast_to(crop_scale, pose.scale.shape))
+    return pose
 
 
 def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
