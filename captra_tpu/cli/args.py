@@ -23,6 +23,8 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
            "(defaults to the bundled configs)")
     a("--obj_config", type=str, default=None)
     a("--obj_category", type=str, default=None)
+    a("--basepath", type=str, default=None,
+      help="dataset root (overrides the object YAML's basepath)")
     a("--experiment_dir", type=str, default=None)
     a("--resume_epoch", type=int, default=-1)
 

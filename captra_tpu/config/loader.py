@@ -7,6 +7,7 @@ from the object entry.  The result is folded into the typed `Config`.
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 from os.path import join as pjoin
 from typing import Any, Mapping
@@ -106,6 +107,10 @@ def get_config(config: str = "config_track.yml",
 
     obj = load_obj_config(raw.get("obj_config", "obj_info_sapien.yml"),
                           str(raw.get("obj_category", "laptop")), base_dir)
+    # experiment-level basepath override (dataset root without editing the
+    # object YAML)
+    if raw.get("basepath"):
+        obj = dataclasses.replace(obj, basepath=str(raw["basepath"]))
 
     pn_name = raw.get("pointnet_cfg", {}).get("camera", "pointnet2_camera.yml")
     pointnet = _pointnet_from_yaml(
