@@ -53,6 +53,18 @@ def _part_shell(rng: np.random.RandomState, n: int, size: np.ndarray):
     return pts * size
 
 
+def _revolution_shell(rng: np.random.RandomState, n: int, size: np.ndarray):
+    """Bottle-like surface of revolution about y: rotationally symmetric, as
+    the sym-category losses assume (radius varies with height so the y axis
+    is still observable)."""
+    y = rng.uniform(-1, 1, n)
+    theta = rng.uniform(0, 2 * np.pi, n)
+    r = (0.6 + 0.4 * np.cos(1.5 * y))  # neck profile
+    pts = np.stack([r * np.cos(theta) * size[0], y * size[1],
+                    r * np.sin(theta) * size[2]], axis=-1)
+    return pts.astype(np.float32)
+
+
 def make_trajectory(seed: int, obj: ObjCfg, num_frames: int = 30,
                     num_points: int = 1024, noise: float = 0.002,
                     scale_range=(0.15, 0.3), with_background: bool = False,
@@ -68,15 +80,16 @@ def make_trajectory(seed: int, obj: ObjCfg, num_frames: int = 30,
     offsets = np.zeros((P, 3), np.float32)
     for p in range(P):
         offsets[p, 0] = (p - (P - 1) / 2) * 0.25
+    shell = _revolution_shell if obj.sym else _part_shell
     n_per = num_points // P
     npcs_parts, labels_parts = [], []
     for p in range(P):
-        pts = _part_shell(rng, n_per, sizes[p]) + offsets[p]
+        pts = shell(rng, n_per, sizes[p]) + offsets[p]
         npcs_parts.append(pts)
         labels_parts.append(np.full(n_per, p, np.int64))
     rest = num_points - n_per * P
     if rest:
-        npcs_parts.append(_part_shell(rng, rest, sizes[0]) + offsets[0])
+        npcs_parts.append(shell(rng, rest, sizes[0]) + offsets[0])
         labels_parts.append(np.full(rest, 0, np.int64))
     npcs = np.concatenate(npcs_parts).astype(np.float32)  # [N, 3]
     labels = np.concatenate(labels_parts)

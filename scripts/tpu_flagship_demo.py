@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--track_trajs", type=int, default=8)
     ap.add_argument("--out", type=str, default="runs/flagship_demo")
+    ap.add_argument("--category", type=str, default="1")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +54,7 @@ def main():
     for net_type, config in (("canon_coord", "config_coordnet.yml"),
                              ("rot", "config_rotnet.yml")):
         cfg = get_config(config, overrides={
-            "obj_config": "obj_info_nocs.yml", "obj_category": "1",
+            "obj_config": "obj_info_nocs.yml", "obj_category": args.category,
             "batch_size": args.batch})
         trainer = Trainer(cfg, steps_per_epoch=200)
         batch0 = make_frame_batch(0, cfg.obj, batch=args.batch,
@@ -84,7 +85,7 @@ def main():
 
     # --- tracking ---------------------------------------------------------
     cfg = get_config("config_track.yml", overrides={
-        "obj_config": "obj_info_nocs.yml", "obj_category": "1",
+        "obj_config": "obj_info_nocs.yml", "obj_category": args.category,
         "init_frame/gt": True})
     coord, rotn = CoordNet(cfg), RotNet(cfg)
     cv = {"params": states["canon_coord"].params,
