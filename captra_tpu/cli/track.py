@@ -19,7 +19,6 @@ from captra_tpu.cli.args import add_args, config_overrides
 from captra_tpu.config import get_config
 from captra_tpu.models.coordnet import CoordNet
 from captra_tpu.models.rotnet import RotNet
-from captra_tpu.pose.part_dof import Pose
 from captra_tpu.tracking.results import (
     corners_from_track_aux, save_track_result,
 )

@@ -17,7 +17,6 @@ import time
 from os.path import join as pjoin
 
 import jax
-import numpy as np
 
 from captra_tpu.cli.args import add_args, config_overrides
 from captra_tpu.config import get_config

@@ -92,8 +92,9 @@ def backproject(depth: np.ndarray, intrinsics: np.ndarray,
     lib = get_lib()
     depth = np.ascontiguousarray(depth, np.uint16)
     if lib is None:
-        from tests.test_preprocess import np_backproject  # pragma: no cover
-        raise RuntimeError("native backproject unavailable")
+        raise RuntimeError(
+            "native backproject unavailable (no g++); use "
+            "captra_tpu.data.preproc_nocs.backproject's numpy path")
     H, W = depth.shape
     k_inv = np.ascontiguousarray(np.linalg.inv(intrinsics), np.float64)
     pts = np.empty((H * W, 3), np.float32)

@@ -15,7 +15,6 @@ hard dependency on it.
 from __future__ import annotations
 
 import os
-import pickle
 from os.path import join as pjoin
 
 import numpy as np

@@ -116,6 +116,11 @@ def main():
     gt_rest = gt.map(lambda x: x[1:])
     errs = evaluate_track(aux.pose, gt_rest, sym=cfg.obj.sym)
     tracked = {kk: float(jnp.mean(vv)) for kk, vv in errs.items()}
+    # first tracked frame separates per-frame fit quality from drift cascade
+    report["tracking_frame1"] = {kk: float(jnp.mean(vv[0]))
+                                 for kk, vv in errs.items()}
+    print("frame-1    ", {k: round(v, 4) for k, v in
+                          report["tracking_frame1"].items()})
     frozen = Pose(rotation=jnp.repeat(gt.rotation[:1], T - 1, 0),
                   translation=jnp.repeat(gt.translation[:1], T - 1, 0),
                   scale=jnp.repeat(gt.scale[:1], T - 1, 0))
