@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--track_trajs", type=int, default=8)
     ap.add_argument("--out", type=str, default="runs/flagship_demo")
     ap.add_argument("--category", type=str, default="1")
+    ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--rot_steps", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -55,20 +57,23 @@ def main():
                              ("rot", "config_rotnet.yml")):
         cfg = get_config(config, overrides={
             "obj_config": "obj_info_nocs.yml", "obj_category": args.category,
-            "batch_size": args.batch})
+            "batch_size": args.batch,
+            "network/compute_dtype": args.dtype})
         trainer = Trainer(cfg, steps_per_epoch=200)
         batch0 = make_frame_batch(0, cfg.obj, batch=args.batch,
                                   num_points=cfg.num_points)
         state = trainer.init_state(key, batch0)
+        steps = args.steps if net_type == "canon_coord" else \
+            (args.rot_steps or args.steps)
         t0 = time.time()
         k = key
         last = {}
-        for i in range(args.steps):
+        for i in range(steps):
             b = make_frame_batch(i % 157, cfg.obj, batch=args.batch,
                                  num_points=cfg.num_points)
             k, sub = jax.random.split(k)
             state, loss, metrics = trainer.train_step(state, b, sub)
-            if i % 100 == 0 or i == args.steps - 1:
+            if i % 100 == 0 or i == steps - 1:
                 last = {kk: float(vv) for kk, vv in
                         {**loss, **metrics}.items()}
                 print(f"[{net_type}] step {i}: total="
@@ -76,8 +81,8 @@ def main():
                       f"5d5cm={last.get('5deg5cm', 0):.3f} "
                       f"rdiff={last.get('rdiff', 0):.2f}", flush=True)
         dt = time.time() - t0
-        print(f"[{net_type}] {args.steps} steps in {dt:.1f}s "
-              f"({dt / args.steps * 1e3:.0f} ms/step)", flush=True)
+        print(f"[{net_type}] {steps} steps in {dt:.1f}s "
+              f"({dt / steps * 1e3:.0f} ms/step)", flush=True)
         report[net_type] = {"final": last, "sec": round(dt, 1)}
         ckpt.save_checkpoint(os.path.join(args.out, net_type, "ckpt"),
                              epoch=0, state=state)
@@ -86,7 +91,7 @@ def main():
     # --- tracking ---------------------------------------------------------
     cfg = get_config("config_track.yml", overrides={
         "obj_config": "obj_info_nocs.yml", "obj_category": args.category,
-        "init_frame/gt": True})
+        "init_frame/gt": True, "network/compute_dtype": args.dtype})
     coord, rotn = CoordNet(cfg), RotNet(cfg)
     cv = {"params": states["canon_coord"].params,
           "batch_stats": states["canon_coord"].batch_stats}
