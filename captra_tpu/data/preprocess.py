@@ -105,6 +105,73 @@ def crop_ball(key: jax.Array, pts: jnp.ndarray, valid: jnp.ndarray,
     return pts[final], final
 
 
+def projected_bbox_2d(center: jnp.ndarray, radius: jnp.ndarray,
+                      intrinsics: jnp.ndarray, image_hw) -> jnp.ndarray:
+    """Project the tracked ball's cube to a 2D (y1, x1, y2, x2) window,
+    jittable (reference get_proj_corners, nocs_data_process.py:133-145)."""
+    h, w = image_hw
+    radius = jnp.maximum(radius, 0.05)
+    signs = jnp.asarray([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                         for sz in (-1, 1)], dtype=jnp.float32)
+    corners = center[None, :] + signs * radius
+    pts = corners * 1000.0
+    pts = -pts / pts[:, 2:3]
+    pts = pts.at[:, 2].multiply(-1.0)
+    uv = (intrinsics @ pts.T).T[:, :2]
+    rows = h - uv[:, 1]
+    cols = uv[:, 0]
+    lo_r = jnp.clip(jnp.min(rows), 0, h - 1)
+    lo_c = jnp.clip(jnp.min(cols), 0, w - 1)
+    hi_r = jnp.clip(jnp.max(rows), 0, h - 1)
+    hi_c = jnp.clip(jnp.max(cols), 0, w - 1)
+    return jnp.stack([lo_r, lo_c, hi_r, hi_c])
+
+
+def _bbox_iou_1vK(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    y1 = jnp.maximum(box[0], boxes[:, 0])
+    y2 = jnp.minimum(box[2], boxes[:, 2])
+    x1 = jnp.maximum(box[1], boxes[:, 1])
+    x2 = jnp.minimum(box[3], boxes[:, 3])
+
+    def area(x1, x2, y1, y2):
+        return jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+
+    inter = area(x1, x2, y1, y2)
+    union = (area(box[1], box[3], box[0], box[2]) +
+             area(boxes[:, 1], boxes[:, 3], boxes[:, 0], boxes[:, 2]) -
+             inter)
+    return inter / jnp.maximum(union, 1e-9)
+
+
+@functools.partial(jax.jit, static_argnames=("image_hw", "max_grow"))
+def select_detection_mask(det_masks: jnp.ndarray, det_boxes: jnp.ndarray,
+                          det_valid: jnp.ndarray, center: jnp.ndarray,
+                          radius: jnp.ndarray, intrinsics: jnp.ndarray,
+                          image_hw, min_iou: float = 0.05,
+                          max_grow: int = 6):
+    """On-device NOCS-2D detection selection inside the tracking scan:
+    among valid same-class detections, pick the mask whose 2D box best
+    overlaps the projected tracked ball, growing the projection x1.2 until
+    a hit (reference CPU loop, nocs_data_process.py:206-229).
+
+    det_masks [K, H, W] bool; det_boxes [K, 4] (y1,x1,y2,x2);
+    det_valid [K] bool.  Returns (mask [H, W], found scalar bool).
+    """
+    radii = radius * (1.2 ** jnp.arange(max_grow))
+
+    def iou_at(r):
+        box = projected_bbox_2d(center, r, intrinsics, image_hw)
+        return jnp.where(det_valid, _bbox_iou_1vK(box, det_boxes), -1.0)
+
+    ious = jax.vmap(iou_at)(radii)                 # [G, K]
+    hit = jnp.max(ious, axis=-1) > min_iou         # [G]
+    g = jnp.argmax(hit)                            # first radius with a hit
+    g = jnp.where(hit[g], g, max_grow - 1)
+    best = jnp.argmax(ious[g])
+    found = jnp.any(det_valid)
+    return det_masks[best], found
+
+
 @functools.partial(jax.jit, static_argnames=("num_points",))
 def otf_frame_from_depth(key: jax.Array, depth: jnp.ndarray,
                          obj_mask: jnp.ndarray, intrinsics: jnp.ndarray,

@@ -78,14 +78,29 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
     def otf_points(pose: Pose, frame: dict):
         from captra_tpu.data.preprocess import (
             NOCS_REAL_INTRINSICS, backproject_depth, crop_ball,
+            select_detection_mask,
         )
         K = intrinsics if intrinsics is not None else NOCS_REAL_INTRINSICS
         center = pose.translation[:, root, :, 0]          # [B, 3]
         radius = cfg.data_radius * pose.scale[:, root]    # [B]
         B = frame["depth"].shape[0]
+        image_hw = tuple(frame["depth"].shape[-2:])
         # frame["key"]: scalar int32 per frame (e.g. the frame index)
         keys = jax.random.split(
             jax.random.fold_in(jax.random.PRNGKey(0), frame["key"]), B)
+
+        if cfg.track.nocs2d_label and "det_masks" in frame:
+            # mask-free tracking: select the detector mask in-graph
+            # (reference does this on CPU, nocs_data_process.py:206-229)
+            def pick(masks, boxes, valid, c, r):
+                m, found = select_detection_mask(masks, boxes, valid, c, r,
+                                                 K, image_hw)
+                return m
+
+            masks = jax.vmap(pick)(frame["det_masks"], frame["det_boxes"],
+                                   frame["det_valid"], center, radius)
+        else:
+            masks = frame["mask"]
 
         def one(k, depth, mask, c, r):
             pts, valid = backproject_depth(depth, K)
@@ -93,8 +108,7 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
             labels = 1 - mask.reshape(-1)[idx].astype(jnp.int32)
             return points, labels
 
-        return jax.vmap(one)(keys, frame["depth"], frame["mask"], center,
-                             radius)
+        return jax.vmap(one)(keys, frame["depth"], masks, center, radius)
 
     def step(pose: Pose, frame: dict):
         if cfg.track.nocs_otf:
