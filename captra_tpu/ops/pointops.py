@@ -140,8 +140,10 @@ def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     col = jax.lax.broadcasted_iota(jnp.int32, sqr.shape, 2)
     dists, idxs = [], []
     for _ in range(3):
+        # min + argmin as fused reductions — a take_along_axis(argmin) gather
+        # from the [B, N, M] matrix costs ~1 ms at B=16 on v5e
+        v = jnp.min(sqr, axis=-1)
         i = jnp.argmin(sqr, axis=-1).astype(jnp.int32)   # [B, N]
-        v = jnp.take_along_axis(sqr, i[..., None], axis=-1)[..., 0]
         dists.append(v)
         idxs.append(i)
         sqr = jnp.where(col == i[..., None], jnp.inf, sqr)
