@@ -72,9 +72,7 @@ class FeaturePropagation(nn.Module):
             sq_dist, idx = ops.three_nn(xyz1, xyz2)
             recip = 1.0 / (sq_dist + 1e-8)
             weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
-            gathered = jnp.take_along_axis(
-                feats2[:, None], idx[..., None], axis=-2)  # [B, N, 3, C]
-            interp = jnp.sum(gathered * weight[..., None], axis=-2)
+            interp = ops.three_interp_rows(feats2, idx, weight)
         x = interp if feats1 is None else jnp.concatenate(
             [feats1, interp], axis=-1)
         return PointMLP(self.mlp, norm="bn", final_acti="relu",

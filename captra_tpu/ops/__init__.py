@@ -7,6 +7,7 @@ from captra_tpu.ops.pointops import (  # noqa: F401
     group_points,
     knn,
     square_distance,
+    three_interp_rows,
     three_interpolate,
     three_nn,
 )

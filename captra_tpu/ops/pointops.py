@@ -160,6 +160,34 @@ def three_interpolate(points: jnp.ndarray, idx: jnp.ndarray,
     return jnp.sum(gathered * weight[:, None], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("method",))
+def three_interp_rows(feats: jnp.ndarray, idx: jnp.ndarray,
+                      weight: jnp.ndarray, method: str | None = None
+                      ) -> jnp.ndarray:
+    """Row-layout 3-NN interpolation: feats [B, M, C], idx/weight [B, N, 3]
+    -> [B, N, C].
+
+    method "dense" (TPU default for M <= 1024) builds the sparse
+    interpolation operator as a dense [B, N, M] matrix (3 compare+select
+    passes) and applies it as one MXU matmul — ~2x faster than the
+    [B*N*3, C] row gather on v5e.  "gather" is the direct formulation.
+    """
+    if method is None:
+        method = ("dense" if jax.default_backend() == "tpu"
+                  and feats.shape[1] <= 1024 else "gather")
+    if method == "gather":
+        g = jnp.take_along_axis(feats[:, None], idx[..., None], axis=-2)
+        # g: [B, N, 3, C]
+        return jnp.sum(g * weight[..., None], axis=-2)
+    B, M, C = feats.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, idx.shape[1], M), 2)
+    W = jnp.zeros((B, idx.shape[1], M), feats.dtype)
+    for j in range(3):
+        W = W + jnp.where(col == idx[..., j][..., None],
+                          weight[..., j][..., None], 0.0).astype(feats.dtype)
+    return jnp.einsum("bnm,bmc->bnc", W, feats)
+
+
 @functools.partial(jax.jit, static_argnames=("nsample", "method"))
 def ball_group(radius: float, nsample: int, xyz: jnp.ndarray,
                new_xyz: jnp.ndarray, feats: jnp.ndarray | None = None,
@@ -190,11 +218,13 @@ def ball_group(radius: float, nsample: int, xyz: jnp.ndarray,
         method = "bucket" if jax.default_backend() == "tpu" else "exact"
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
-    src = xyz if feats is None else jnp.concatenate([feats, xyz], axis=-1)
-    C = src.shape[-1] - 3  # feature channels before the xyz block
 
     if method != "bucket" or N % nsample != 0:
-        idx = ball_query(radius, nsample, xyz, new_xyz, method=method)
+        src = xyz if feats is None else jnp.concatenate([feats, xyz],
+                                                        axis=-1)
+        C = src.shape[-1] - 3  # feature channels before the xyz block
+        idx = ball_query(radius, nsample, xyz, new_xyz,
+                         method=None if method == "bucket" else method)
         flat = idx.reshape(B, S * nsample)
         g = jnp.take_along_axis(src, flat[..., None], axis=1)
         g = g.reshape(B, S, nsample, src.shape[-1])
@@ -211,17 +241,25 @@ def ball_group(radius: float, nsample: int, xyz: jnp.ndarray,
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, S, nsample, G), 3)
     oh = (lane == first_in_bucket[..., None]) & found[..., None]
 
-    src_r = src.reshape(B, nsample, G, src.shape[-1])     # bucket-major
-    grouped = jnp.einsum("bskg,bkgc->bskc", oh.astype(src.dtype), src_r)
-
     # pad empty buckets with the query's first hit (small [B, S] gather)
     any_hit = jnp.any(in_ball, axis=-1)
     first_idx = jnp.where(any_hit, jnp.argmax(in_ball, axis=-1), 0)
-    first_row = jnp.take_along_axis(src, first_idx[..., None], axis=1)
-    grouped = jnp.where(found[..., None], grouped, first_row[:, :, None])
 
-    rel = grouped[..., C:] - new_xyz[:, :, None]
-    return jnp.concatenate([grouped[..., :C], rel], axis=-1) if C else rel
+    # contract features and xyz separately: features stay in their (possibly
+    # bf16) dtype for the MXU, xyz stays f32 for geometry — avoids an
+    # upcast-to-f32 materialization of the whole [B, S, K, C+3] block
+    def contract(values):
+        vr = values.reshape(B, nsample, G, values.shape[-1])
+        g = jnp.einsum("bskg,bkgc->bskc", oh.astype(values.dtype), vr)
+        first_row = jnp.take_along_axis(values, first_idx[..., None], axis=1)
+        return jnp.where(found[..., None], g, first_row[:, :, None])
+
+    g_xyz = contract(xyz)
+    rel = g_xyz - new_xyz[:, :, None]
+    if feats is None:
+        return rel
+    g_feats = contract(feats)
+    return jnp.concatenate([g_feats, rel.astype(feats.dtype)], axis=-1)
 
 
 # ---------------------------------------------------------------------------

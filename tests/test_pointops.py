@@ -225,3 +225,25 @@ def test_ball_group_bucket_no_hits(rng):
     # zero hits -> pad with point 0 (reference rule)
     want = np.broadcast_to(xyz[0, 0] - 0.0, (2, 8, 3))
     np.testing.assert_allclose(g[0], want, atol=1e-5)
+
+
+def test_three_interp_rows_dense_matches_gather(rng):
+    B, M, C, N = 2, 32, 7, 40
+    feats = rng.randn(B, M, C).astype(np.float32)
+    idx = rng.randint(0, M, (B, N, 3))
+    w = rng.rand(B, N, 3).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    a = np.asarray(ops.three_interp_rows(jnp.asarray(feats), jnp.asarray(idx),
+                                         jnp.asarray(w), method="gather"))
+    b = np.asarray(ops.three_interp_rows(jnp.asarray(feats), jnp.asarray(idx),
+                                         jnp.asarray(w), method="dense"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # duplicate indices within a row must accumulate in the dense operator
+    idx2 = np.zeros((B, N, 3), np.int64)
+    a = np.asarray(ops.three_interp_rows(jnp.asarray(feats),
+                                         jnp.asarray(idx2), jnp.asarray(w),
+                                         method="gather"))
+    b = np.asarray(ops.three_interp_rows(jnp.asarray(feats),
+                                         jnp.asarray(idx2), jnp.asarray(w),
+                                         method="dense"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
