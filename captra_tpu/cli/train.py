@@ -103,6 +103,33 @@ def main(argv=None):
 
     state = replicate(state, mesh)
 
+    test_ds = None
+    if not args.synthetic_data:
+        try:
+            test_ds = make_dataset(
+                cfg, "real_test" if cfg.obj.nocs_data else "test")
+        except Exception as e:  # no test split on disk
+            logger.info("no test split (%s); skipping per-epoch eval", e)
+
+    def run_epoch(batches, train: bool, tag: str, epoch: int):
+        nonlocal state, key
+        sums, count = {}, 0
+        for batch in batches:
+            key, sub = jax.random.split(key)
+            if train:
+                state, loss_dict, metrics = trainer.train_step(
+                    state, shard_batch(batch, mesh), sub)
+            else:
+                loss_dict, metrics = trainer.eval_step(
+                    state, shard_batch(batch, mesh), sub)
+            for k, v in {**loss_dict, **metrics}.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        for k in sorted(sums):
+            logger.info("%s epoch %d %s is %.6f", tag, epoch, k,
+                        sums[k] / max(count, 1))
+        return count
+
     for epoch in range(start_epoch, cfg.optim.total_epoch):
         trainer.set_epoch(epoch)
         if args.synthetic_data:
@@ -111,20 +138,15 @@ def main(argv=None):
             batches = single_frame_batches(train_ds, cfg.batch_size,
                                            seed=epoch)
         t0 = time.time()
-        sums, count = {}, 0
-        for batch in batches:
-            key, sub = jax.random.split(key)
-            state, loss_dict, metrics = trainer.train_step(
-                state, shard_batch(batch, mesh), sub)
-            for k, v in {**loss_dict, **metrics}.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
-        for k in sorted(sums):
-            logger.info("Train epoch %d %s is %.6f", epoch, k,
-                        sums[k] / max(count, 1))
+        count = run_epoch(batches, train=True, tag="Train", epoch=epoch)
         logger.info("epoch %d: %d steps in %.1fs", epoch, count,
                     time.time() - t0)
         ckpt.save_checkpoint(ckpt_dir, epoch, state)
+        # per-epoch test evaluation (reference train.py:91-98 test_all)
+        if test_ds is not None:
+            run_epoch(single_frame_batches(test_ds, cfg.batch_size,
+                                           shuffle=False),
+                      train=False, tag="Test", epoch=epoch)
     return state
 
 
