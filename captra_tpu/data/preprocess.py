@@ -66,15 +66,27 @@ def backproject_depth(depth: jnp.ndarray, intrinsics: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("num_points", "work_factor",
-                                             "max_grow"))
+                                             "max_grow", "method"))
 def crop_ball(key: jax.Array, pts: jnp.ndarray, valid: jnp.ndarray,
               center: jnp.ndarray, radius: jnp.ndarray, num_points: int,
-              work_factor: int = 5, max_grow: int = 10):
+              work_factor: int = 5, max_grow: int = 10,
+              method: str | None = None):
     """Fixed-shape ball crop + FPS downsample.
 
     pts [M, 3], valid [M] bool, center [3], radius scalar ->
     (points [num_points, 3], idx [num_points] into pts).
+
+    method "sort" draws the 5x-npoint working set as a random permutation of
+    the in-ball points (the reference's subsample, data_utils.py:147-153)
+    via a full argsort — O(M log M), ~10 ms for a 480x640 image on v5e.
+    method "bucket" (TPU default) instead takes the first in-ball point of
+    each of `work_factor*num_points` contiguous buckets after a random
+    cyclic shift — a stratified random subsample at O(M) VPU cost.  Both
+    wrap-fill to the working size, so FPS sees the reference's
+    duplicate-then-sample distribution.
     """
+    if method is None:
+        method = "bucket" if jax.default_backend() == "tpu" else "sort"
     M = pts.shape[0]
     dist = jnp.where(valid, jnp.linalg.norm(pts - center, axis=-1), jnp.inf)
 
@@ -91,18 +103,73 @@ def crop_ball(key: jax.Array, pts: jnp.ndarray, valid: jnp.ndarray,
     # back to distance <= 1e9, nocs_data_process.py:101-102)
     any_ball = jnp.any(in_ball)
     in_ball = jnp.where(any_ball, in_ball, valid)
-    count = jnp.maximum(jnp.sum(in_ball), 1)
 
-    # random permutation of in-ball indices first (5x-npoint subsample)
-    scores = jnp.where(in_ball, jax.random.uniform(key, (M,)), jnp.inf)
-    order = jnp.argsort(scores)
     W = min(work_factor * num_points, M)
-    take = order[jnp.arange(W) % count]           # wrap -> duplicates
+    if method == "sort":
+        count = jnp.maximum(jnp.sum(in_ball), 1)
+        scores = jnp.where(in_ball, jax.random.uniform(key, (M,)), jnp.inf)
+        order = jnp.argsort(scores)
+        take = order[jnp.arange(W) % count]       # wrap -> duplicates
+    else:
+        G = -(-M // W)  # bucket size
+        shift = jax.random.randint(key, (), 0, M)
+        rolled = jnp.roll(in_ball, -shift)
+        pad = W * G - M
+        mb = jnp.pad(rolled, (0, pad)).reshape(W, G)
+        found = jnp.any(mb, axis=-1)
+        first = jnp.argmax(mb, axis=-1)
+        cand = (jnp.arange(W) * G + first + shift) % M
+        # fallback for empty buckets: the first in-ball point overall
+        fb = (jnp.argmax(rolled) + shift) % M
+        take = jnp.where(found, cand, fb)
     sub = pts[take]                               # [W, 3]
 
     fps_idx = farthest_point_sample(sub[None], num_points)[0]
     final = take[fps_idx]
     return pts[final], final
+
+
+@functools.partial(jax.jit, static_argnames=("num_points", "work_factor",
+                                             "max_grow", "method"))
+def crop_ball_batch(keys: jax.Array, pts: jnp.ndarray, valid: jnp.ndarray,
+                    center: jnp.ndarray, radius: jnp.ndarray,
+                    num_points: int, work_factor: int = 5,
+                    max_grow: int = 10, method: str | None = None):
+    """Batched `crop_ball`: pts [B, M, 3], valid [B, M], center [B, 3],
+    radius [B] -> (points [B, num_points, 3], idx [B, num_points]).
+
+    The masking/selection stages vmap (pure VPU); the FPS runs as ONE
+    batched Pallas call so all B clouds pack into sublane tiles — a naive
+    `jax.vmap(crop_ball)` lowers the FPS kernel to one grid cell per cloud
+    with 7/8 sublanes idle (measured 21 ms/frame at B=4 on v5e).
+    """
+    def prep(key, p, v, c, r):
+        M = p.shape[0]
+        dist = jnp.where(v, jnp.linalg.norm(p - c, axis=-1), jnp.inf)
+        rr = jnp.maximum(r, 0.05)
+        radii = rr * (1.1 ** jnp.arange(max_grow))
+        counts = jnp.sum(dist[None, :] <= radii[:, None], axis=-1)
+        k = jnp.argmax(counts >= 10)
+        k = jnp.where(counts[k] >= 10, k, max_grow - 1)
+        in_ball = dist <= radii[k]
+        in_ball = jnp.where(jnp.any(in_ball), in_ball, v)
+        W = min(work_factor * num_points, M)
+        G = -(-M // W)
+        shift = jax.random.randint(key, (), 0, M)
+        rolled = jnp.roll(in_ball, -shift)
+        mb = jnp.pad(rolled, (0, W * G - M)).reshape(W, G)
+        found = jnp.any(mb, axis=-1)
+        first = jnp.argmax(mb, axis=-1)
+        cand = (jnp.arange(W) * G + first + shift) % M
+        fb = (jnp.argmax(rolled) + shift) % M
+        take = jnp.where(found, cand, fb)
+        return take, p[take]
+
+    take, sub = jax.vmap(prep)(keys, pts, valid, center, radius)
+    fps_idx = farthest_point_sample(sub, num_points)       # one batched call
+    final = jnp.take_along_axis(take, fps_idx, axis=1)
+    points = jnp.take_along_axis(pts, final[..., None], axis=1)
+    return points, final
 
 
 def projected_bbox_2d(center: jnp.ndarray, radius: jnp.ndarray,

@@ -77,7 +77,7 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
 
     def otf_points(pose: Pose, frame: dict):
         from captra_tpu.data.preprocess import (
-            NOCS_REAL_INTRINSICS, backproject_depth, crop_ball,
+            NOCS_REAL_INTRINSICS, backproject_depth, crop_ball_batch,
             select_detection_mask,
         )
         K = intrinsics if intrinsics is not None else NOCS_REAL_INTRINSICS
@@ -102,13 +102,13 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
         else:
             masks = frame["mask"]
 
-        def one(k, depth, mask, c, r):
-            pts, valid = backproject_depth(depth, K)
-            points, idx = crop_ball(k, pts, valid, c, r, cfg.num_points)
-            labels = 1 - mask.reshape(-1)[idx].astype(jnp.int32)
-            return points, labels
-
-        return jax.vmap(one)(keys, frame["depth"], masks, center, radius)
+        pts, valid = jax.vmap(lambda d: backproject_depth(d, K))(
+            frame["depth"])
+        points, idx = crop_ball_batch(keys, pts, valid, center, radius,
+                                      cfg.num_points)
+        labels = 1 - jnp.take_along_axis(
+            masks.reshape(masks.shape[0], -1), idx, axis=1).astype(jnp.int32)
+        return points, labels
 
     def step(pose: Pose, frame: dict):
         if cfg.track.nocs_otf:

@@ -120,3 +120,35 @@ def test_crop_ball_jits_in_scan(key, rng):
 
     _, outs = jax.lax.scan(step, 0, pts)
     assert outs.shape == (5, num_points, 3)
+
+
+def test_crop_ball_bucket_matches_semantics(key, rng):
+    """Bucket method: all outputs in-ball, spread across the cloud."""
+    M, num_points = 3000, 64
+    pts = rng.randn(M, 3).astype(np.float32)
+    out_pts, idx = pp.crop_ball(key, jnp.asarray(pts), jnp.ones(M, bool),
+                                jnp.zeros(3), jnp.float32(1.2), num_points,
+                                method="bucket")
+    d = np.linalg.norm(np.asarray(out_pts), axis=-1)
+    assert (d <= 1.2 + 1e-5).all()
+    assert out_pts.shape == (num_points, 3)
+    # compare coverage vs the sort method: FPS spread should be similar
+    out2, _ = pp.crop_ball(key, jnp.asarray(pts), jnp.ones(M, bool),
+                           jnp.zeros(3), jnp.float32(1.2), num_points,
+                           method="sort")
+    def spread(p):
+        return np.linalg.norm(np.asarray(p) - np.asarray(p).mean(0),
+                              axis=-1).mean()
+    assert abs(spread(out_pts) - spread(out2)) < 0.25
+
+
+def test_crop_ball_bucket_sparse(key, rng):
+    """Fewer in-ball points than buckets -> duplicates, never out-of-ball."""
+    M, num_points = 2000, 32
+    pts = (rng.randn(M, 3) + 10).astype(np.float32)
+    pts[:5] = rng.randn(5, 3) * 0.01
+    out_pts, idx = pp.crop_ball(key, jnp.asarray(pts), jnp.ones(M, bool),
+                                jnp.zeros(3), jnp.float32(0.1), num_points,
+                                method="bucket")
+    assert (np.linalg.norm(np.asarray(out_pts), axis=-1) < 1.0).all()
+    assert len(np.unique(np.asarray(idx))) <= 5
