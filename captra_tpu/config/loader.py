@@ -138,6 +138,7 @@ def get_config(config: str = "config_track.yml",
         nocs2d_path=str(tc.get("nocs2d_path") or ""),
         init_frame_gt=bool((raw.get("init_frame", {}) or {}).get("gt", False)),
         nocs_otf=bool(raw.get("nocs_otf", False)),
+        otf_work_factor=int(tc.get("otf_work_factor", 5)),
     )
 
     optim = OptimCfg(

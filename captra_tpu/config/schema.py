@@ -102,6 +102,10 @@ class TrackCfg:
     nocs2d_path: str = ""
     init_frame_gt: bool = False
     nocs_otf: bool = False
+    # FPS working-set multiple for the OTF crop (reference subsamples to
+    # 5x num_points, data_utils.py:147-153; 3 trades ~nothing in coverage
+    # for +30% single-stream OTF throughput)
+    otf_work_factor: int = 5
 
 
 @dataclass(frozen=True)

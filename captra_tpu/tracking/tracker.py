@@ -105,7 +105,8 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
         pts, valid = jax.vmap(lambda d: backproject_depth(d, K))(
             frame["depth"])
         points, idx = crop_ball_batch(keys, pts, valid, center, radius,
-                                      cfg.num_points)
+                                      cfg.num_points,
+                                      work_factor=cfg.track.otf_work_factor)
         labels = 1 - jnp.take_along_axis(
             masks.reshape(masks.shape[0], -1), idx, axis=1).astype(jnp.int32)
         return points, labels
