@@ -22,8 +22,9 @@ DATA_AXIS = "data"
 
 
 def data_parallel_mesh(n_devices: int | None = None,
-                       axis: str = DATA_AXIS) -> Mesh:
-    devs = jax.devices()
+                       axis: str = DATA_AXIS,
+                       devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
