@@ -64,8 +64,10 @@ class PointMLP(nn.Module):
                                  name=f"norm_{i}")(x)
             elif norm == "gn":
                 # reference GroupNorm uses 2 channels per group
-                # (blocks.py:69-73); statistics in f32 regardless of dtype
-                x = nn.GroupNorm(num_groups=None, group_size=2,
+                # (blocks.py:69-73) and torch's eps=1e-5 (flax defaults to
+                # 1e-6, which diverges on near-zero-variance groups);
+                # statistics in f32 regardless of dtype
+                x = nn.GroupNorm(num_groups=None, group_size=2, epsilon=1e-5,
                                  dtype=self.dtype, name=f"norm_{i}")(x)
             x = _activation("relu" if not last else self.final_acti)(x)
         return x
