@@ -5,8 +5,17 @@ Runs the full-size CoordNet + RotationNet + analytic-fit tracking scan
 batched synthetic trajectories and reports throughput against the 200
 frames/sec/chip north star (BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env: CAPTRA_BENCH_BATCHES="16,32" to sweep batch sizes (default "16").
+Two protocols, both reported in the JSON line:
+  * network path (batched, points pre-cropped): the throughput headline;
+  * OTF (reference speed protocol, network/test.py:77-96 + README.md:267):
+    batch_size=1 *including data preprocessing* — raw 480x640 depth frames
+    enter the jitted scan and backprojection + ball crop + FPS run
+    on device from the carried pose.  Reported as `otf_b1` / `otf_b8`.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "otf_b1",
+"otf_b8"}.
+Env: CAPTRA_BENCH_BATCHES="16,32" to sweep network-path batch sizes;
+CAPTRA_BENCH_OTF_BATCHES="1,8" (set "" to skip the OTF runs).
 """
 from __future__ import annotations
 
@@ -76,6 +85,68 @@ def make_data(cfg, batch: int, num_frames: int):
     return init_pose, {"points": data["points"]}
 
 
+def bench_otf(batches, num_frames: int = 20, fps_mode: str = "exact"):
+    """Reference speed protocol: OTF crop in-graph, per-batch fps dict."""
+    from captra_tpu.config import get_config
+    from captra_tpu.data.preprocess import (NOCS_REAL_INTRINSICS,
+                                            backproject_depth)
+    from captra_tpu.models.coordnet import CoordNet
+    from captra_tpu.models.rotnet import RotNet
+    from captra_tpu.pose.part_dof import Pose
+    from captra_tpu.tracking.tracker import make_track_step, track_trajectory
+    from scripts.bench_otf import make_depth_frames
+
+    cfg = get_config("config_track.yml", overrides={
+        "obj_config": "obj_info_nocs.yml", "obj_category": "1",
+        "init_frame/gt": True, "nocs_otf": True,
+        "track_cfg/otf_fps_mode": fps_mode,
+        "network/compute_dtype": os.environ.get("CAPTRA_BENCH_DTYPE",
+                                                "bfloat16"),
+    })
+    N, P = cfg.num_points, cfg.obj.num_parts
+    coord, rotn = CoordNet(cfg), RotNet(cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cv = coord.init(k1, jnp.zeros((1, N, 3)), train=False)
+    rv = rotn.init(k2, jnp.zeros((1, P, N, 3)), jnp.zeros((1, N), jnp.int32),
+                   train=False)
+    step = make_track_step(
+        cfg,
+        lambda p: coord.apply(cv, p, train=False),
+        lambda p, l: rotn.apply(rv, p, l, train=False))
+    run = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
+
+    results = {}
+    for B in batches:
+        try:
+            depths, masks = make_depth_frames(num_frames, B)
+            pts0, _ = backproject_depth(depths[0, 0], NOCS_REAL_INTRINSICS)
+            c0 = np.asarray(pts0).reshape(480, 640, 3)[
+                np.asarray(masks[0, 0])].mean(0)
+            init_pose = Pose(
+                rotation=jnp.broadcast_to(jnp.eye(3), (B, P, 3, 3)),
+                translation=jnp.broadcast_to(
+                    jnp.asarray(c0).reshape(1, 1, 3, 1), (B, P, 3, 1)),
+                scale=jnp.full((B, P), 0.3))
+            frames = {"depth": depths, "mask": masks,
+                      "key": jnp.arange(num_frames, dtype=jnp.int32)}
+            t0 = time.time()
+            out = run(init_pose, frames)
+            jax.block_until_ready(out)
+            print(f"# otf batch={B} compile+warm: {time.time() - t0:.1f}s")
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = run(init_pose, frames)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            results[B] = (num_frames - 1) * B / best
+            print(f"# otf batch={B} fps_mode={fps_mode}: "
+                  f"{results[B]:.1f} frames/sec/chip")
+        except Exception as e:  # noqa: BLE001 — report what we can
+            print(f"# otf batch={B} failed: {e}")
+    return results
+
+
 def main():
     num_frames = 20
     batches = [int(b) for b in
@@ -107,11 +178,25 @@ def main():
         print(f"# batch={batch}: {fps:.1f} tracked frames/sec/chip")
         if fps > best_fps:
             best_fps, best_cfg = fps, batch
+
+    otf_env = os.environ.get("CAPTRA_BENCH_OTF_BATCHES", "1,8")
+    otf, otf_grouped = {}, {}
+    if otf_env:
+        otf_batches = [int(b) for b in otf_env.split(",") if b]
+        otf = bench_otf(otf_batches)
+        # grouped stratified FPS (track_cfg/otf_fps_mode=grouped): the
+        # latency-optimized single-stream mode, deviation quantified in
+        # tests/test_approx_parity.py
+        otf_grouped = bench_otf([b for b in otf_batches if b == 1],
+                                fps_mode="grouped")
     print(json.dumps({
         "metric": "tracked_frames_per_sec_per_chip",
         "value": round(best_fps, 2),
         "unit": f"frames/s (NOCS-bottle-shaped, 4096 pts, batch={best_cfg})",
         "vs_baseline": round(best_fps / BASELINE_FPS, 3),
+        "otf_b1": round(otf.get(1, 0.0), 2),
+        "otf_b8": round(otf.get(8, 0.0), 2),
+        "otf_b1_grouped": round(otf_grouped.get(1, 0.0), 2),
     }))
 
 

@@ -16,7 +16,7 @@ import jax
 from captra_tpu.cli.args import add_args, config_overrides
 from captra_tpu.cli.train import make_dataset, setup_logger
 from captra_tpu.config import get_config
-from captra_tpu.data.loader import single_frame_batches
+from captra_tpu.data.loader import prefetch, single_frame_batches
 from captra_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
 from captra_tpu.training import checkpoint as ckpt
 from captra_tpu.training.trainer import Trainer
@@ -84,7 +84,7 @@ def main(argv=None):
                 ("Real_Train", single_frame_batches(real_ds, cfg.batch_size,
                                                     seed=epoch))]:
             sums, count = {}, 0
-            for batch in batches:
+            for batch in prefetch(batches):
                 key, sub = jax.random.split(key)
                 state, loss_dict, metrics = trainer.train_step(
                     state, shard_batch(batch, mesh), sub)

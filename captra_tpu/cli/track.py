@@ -52,12 +52,38 @@ def build_step(cfg, cv, rv):
         lambda p, l: rotn.apply(rv, p, l, train=False))
 
 
+def _bucket_length(T: int, lo: int = 8) -> int:
+    """Smallest power of two >= T (>= lo): NOCS real scenes have uneven
+    lengths, and jitting the scan per distinct T retraces per scene — pad
+    each trajectory to a bucket length instead, so there is ONE compile per
+    bucket (reference sequence chunking: network/data/dataset.py:135-194)."""
+    b = lo
+    while b < T:
+        b *= 2
+    return b
+
+
+def _pad_frames(frames: dict, T: int, Tb: int) -> dict:
+    """Edge-replicate every frame leaf from T to Tb along the time axis;
+    padded steps are discarded from the outputs (the recurrence just idles
+    on a repeated final frame)."""
+    if Tb == T:
+        return frames
+
+    def pad(x):
+        reps = jnp.broadcast_to(x[-1:], (Tb - T,) + x.shape[1:])
+        return jnp.concatenate([x, reps], axis=0)
+
+    return {k: pad(v) for k, v in frames.items()}
+
+
 def track_sequences(cfg, step, sequences, save: bool = False,
                     no_eval: bool = False, seed: int = 0):
     """sequences: iterator of (name, batch) with leading [T, 1, ...]."""
     run = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
     key = jax.random.PRNGKey(seed)
     all_avgs, total_frames, total_time = {}, 0, 0.0
+    warmed: set[int] = set()
     for name, batch in sequences:
         gt = batch["pose"]
         key, sub = jax.random.split(key)
@@ -70,18 +96,28 @@ def track_sequences(cfg, step, sequences, save: bool = False,
             frames = {"depth": batch["depth"], "mask": batch["mask"],
                       "key": jnp.arange(T, dtype=jnp.int32)}
         else:
+            T = batch["points"].shape[0]
             frames = {"points": batch["points"]}
             if cfg.track.gt_label:
                 frames["labels"] = batch["labels"]
+        Tb = _bucket_length(T)
+        frames = _pad_frames(frames, T, Tb)
+        if Tb not in warmed:
+            # one untimed warm-up per bucket length: compile time must not
+            # pollute the reported fps (reference times pure loop iterations,
+            # network/test.py:77-94)
+            out = run(init_pose, frames)
+            jax.block_until_ready(out[1].pose.scale)
+            warmed.add(Tb)
         t0 = time.perf_counter()
         final, aux = run(init_pose, frames)
         jax.block_until_ready(aux.pose.scale)
         dt = time.perf_counter() - t0
-        T = batch["points"].shape[0]
+        aux = jax.tree.map(lambda x: x[:T - 1], aux)
         total_frames += T - 1
-        total_time += dt
+        total_time += dt * (T - 1) / (Tb - 1)  # padded steps are not frames
         print(f"{name}: {T - 1} frames in {dt:.3f}s "
-              f"({(T - 1) / dt:.1f} fps)")
+              f"({(Tb - 1) / dt:.1f} fps, bucket {Tb})")
 
         if not no_eval:
             gt_rest = gt.map(lambda x: x[1:])

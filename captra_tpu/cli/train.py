@@ -20,7 +20,7 @@ import jax
 
 from captra_tpu.cli.args import add_args, config_overrides
 from captra_tpu.config import get_config
-from captra_tpu.data.loader import single_frame_batches
+from captra_tpu.data.loader import prefetch, single_frame_batches
 from captra_tpu.data.synthetic import make_frame_batch
 from captra_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
 from captra_tpu.training import checkpoint as ckpt
@@ -114,7 +114,9 @@ def main(argv=None):
     def run_epoch(batches, train: bool, tag: str, epoch: int):
         nonlocal state, key
         sums, count = {}, 0
-        for batch in batches:
+        # background-thread double buffering: collation/disk reads overlap
+        # device compute (reference DataLoader workers, dataset.py:205)
+        for batch in prefetch(batches):
             key, sub = jax.random.split(key)
             if train:
                 state, loss_dict, metrics = trainer.train_step(

@@ -139,6 +139,8 @@ def get_config(config: str = "config_track.yml",
         init_frame_gt=bool((raw.get("init_frame", {}) or {}).get("gt", False)),
         nocs_otf=bool(raw.get("nocs_otf", False)),
         otf_work_factor=int(tc.get("otf_work_factor", 5)),
+        otf_fps_mode=str(tc.get("otf_fps_mode", "exact")),
+        scale_clamp=float(tc.get("scale_clamp", 0.0)),
     )
 
     optim = OptimCfg(

@@ -106,6 +106,13 @@ class TrackCfg:
     # 5x num_points, data_utils.py:147-153; 3 trades ~nothing in coverage
     # for +30% single-stream OTF throughput)
     otf_work_factor: int = 5
+    # > 0 bounds the per-frame scale ratio to [1/(1+c), 1+c] (deviation;
+    # damps scale random-walk under biased NPCS — see compose_track_pose)
+    scale_clamp: float = 0.0
+    # "exact": global max-min FPS; "grouped": stratified 8-way FPS with
+    # num_points/8 sequential picks (the exact single-cloud kernel is
+    # latency-bound at ~0.5us/pick) — see ops.farthest_point_sample_grouped_t
+    otf_fps_mode: str = "exact"
 
 
 @dataclass(frozen=True)

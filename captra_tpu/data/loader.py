@@ -119,6 +119,40 @@ def sequence_batches(dataset, num_frames: int | None = None
             yield f"{name}/{ci}", batch
 
 
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread double buffering: overlaps host-side work (dataset
+    __getitem__ disk reads, numpy collation, host->device transfer enqueue)
+    with device compute.  The TPU-native stand-in for the reference's
+    DataLoader worker processes (network/data/dataset.py:205).
+
+    `size` bounds the queue so at most that many batches are resident
+    host-side ahead of the consumer."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    end = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            err.append(e)
+        finally:
+            q.put(end)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is end:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 class Mixture:
     """Sample from several datasets with given ratios (reference Mixture,
     utils.py:188-197; used for CAMERA-synthetic + Real finetuning)."""

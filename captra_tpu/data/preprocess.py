@@ -129,6 +129,88 @@ def crop_ball(key: jax.Array, pts: jnp.ndarray, valid: jnp.ndarray,
     return pts[final], final
 
 
+@jax.jit
+def backproject_depth_planes(depth: jnp.ndarray, intrinsics: jnp.ndarray,
+                             scale: float = 0.001):
+    """`backproject_depth` in planes layout: depth [H, W] -> (pts3
+    [3, H*W], valid [H*W]).
+
+    Numerically identical to `backproject_depth` for zero-skew intrinsics
+    (all NOCS cameras: nocs_data_process.py:20, nocs_utils.py:5) but pure
+    2D-plane elementwise work — no [.., 3]-minor arrays, which TPU tiles
+    catastrophically (a [H*W, 3] relayout costs ~1 ms/frame at 480x640)."""
+    H, W = depth.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = depth > 0
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    z = depth.astype(jnp.float32)
+    x = (cols.astype(jnp.float32) - cx) / fx * z
+    y = ((H - rows).astype(jnp.float32) - cy) / fy * z
+    pts3 = jnp.stack([x.reshape(-1), y.reshape(-1), -z.reshape(-1)])
+    return pts3 * scale, valid.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_points", "work_factor",
+                                             "max_grow", "fps_mode"))
+def crop_ball_batch_planes(keys: jax.Array, pts3: jnp.ndarray,
+                           valid: jnp.ndarray, center: jnp.ndarray,
+                           radius: jnp.ndarray, num_points: int,
+                           work_factor: int = 5, max_grow: int = 10,
+                           fps_mode: str = "exact"):
+    """`crop_ball_batch` on planes-layout clouds: pts3 [B, 3, M], valid
+    [B, M], center [B, 3], radius [B] -> (points3 [B, 3, num_points], idx
+    [B, num_points]).  Same bucket-select semantics and identical FPS picks
+    — but every stage is lane-parallel plane arithmetic and the FPS kernel
+    consumes [B, 3, W] directly, so the [M, 3]-minor relayouts of the
+    row-layout path never happen.
+
+    fps_mode "exact" runs the global max-min sweep; "grouped" runs the
+    stratified 8-way approximation (num_points/8 sequential picks instead
+    of num_points — the single-stream kernel is latency-bound, see
+    ops.farthest_point_sample_grouped_t for the deviation contract)."""
+    from captra_tpu.ops.fps_pallas import fps_pallas_t
+    from captra_tpu.ops.pointops import farthest_point_sample_grouped_t
+
+    def prep(key, p3, v, c, r):
+        M = p3.shape[-1]
+        d2 = ((p3[0] - c[0]) ** 2 + (p3[1] - c[1]) ** 2 +
+              (p3[2] - c[2]) ** 2)
+        dist = jnp.where(v, jnp.sqrt(d2), jnp.inf)
+        rr = jnp.maximum(r, 0.05)
+        radii = rr * (1.1 ** jnp.arange(max_grow))
+        counts = jnp.sum(dist[None, :] <= radii[:, None], axis=-1)
+        k = jnp.argmax(counts >= 10)
+        k = jnp.where(counts[k] >= 10, k, max_grow - 1)
+        in_ball = dist <= radii[k]
+        in_ball = jnp.where(jnp.any(in_ball), in_ball, v)
+        W = min(work_factor * num_points, M)
+        G = -(-M // W)
+        shift = jax.random.randint(key, (), 0, M)
+        rolled = jnp.roll(in_ball, -shift)
+        mb = jnp.pad(rolled, (0, W * G - M)).reshape(W, G)
+        found = jnp.any(mb, axis=-1)
+        first = jnp.argmax(mb, axis=-1)
+        cand = (jnp.arange(W) * G + first + shift) % M
+        fb = (jnp.argmax(rolled) + shift) % M
+        take = jnp.where(found, cand, fb)
+        sub3 = jnp.take_along_axis(p3, take[None], axis=-1)   # [3, W]
+        return take, sub3
+
+    take, sub3 = jax.vmap(prep)(keys, pts3, valid, center, radius)
+    if fps_mode == "grouped":
+        fps_idx = farthest_point_sample_grouped_t(sub3, num_points)
+    elif jax.default_backend() == "tpu":
+        fps_idx = fps_pallas_t(sub3, num_points)
+    else:
+        fps_idx = farthest_point_sample(jnp.swapaxes(sub3, -1, -2),
+                                        num_points)
+    final = jnp.take_along_axis(take, fps_idx, axis=1)
+    points3 = jnp.take_along_axis(pts3, final[:, None], axis=-1)
+    return points3, final
+
+
 @functools.partial(jax.jit, static_argnames=("num_points", "work_factor",
                                              "max_grow", "method"))
 def crop_ball_batch(keys: jax.Array, pts: jnp.ndarray, valid: jnp.ndarray,

@@ -107,6 +107,88 @@ def draw_boxes_on_image(image: np.ndarray, boxes: np.ndarray,
     return img
 
 
+def visualize_scene_images(results_dir: str, img_dir: str, scene: str,
+                           out_dir: str | None = None,
+                           intrinsics: np.ndarray | None = None,
+                           depth: bool = False, draw_gt: bool = False,
+                           color=(255, 80, 0), gt_color=(0, 200, 0)):
+    """Scene walkthrough: for every frame of `scene`, overlay each tracked
+    instance's posed predicted box onto the scene's RGB (or depth) image and
+    write a PNG sequence (reference visualize_tracking_nocs.py:36-114).
+
+    Expects `results_dir/data/*.pkl` artifacts (tracking.results) whose file
+    names contain the scene id, and NOCS-layout images
+    `img_dir/<scene>/<frame>_color.png` (or `_depth.png`).  Frame alignment
+    uses each pickle's `frame_nums` (falling back to 0..T-1).  As in the
+    reference, frame 0 uses the GT corners (the predicted NPCS corners start
+    at frame 1).
+    """
+    import cv2
+
+    if intrinsics is None:
+        intrinsics = np.array([[591.0125, 0, 322.525],
+                               [0, 590.16775, 244.11084],
+                               [0, 0, 1.0]])  # NOCS real (nocs_utils.py:20)
+    from captra_tpu.pose.bbox import posed_bbox_from_part
+    from captra_tpu.pose.part_dof import Pose
+    import jax.numpy as jnp
+
+    out_dir = out_dir or pjoin(results_dir, "vis", scene)
+    data_dir = pjoin(results_dir, "data")
+    instances = {}
+    for raw in sorted(os.listdir(data_dir)):
+        if raw.endswith(".pkl") and scene in raw:
+            with open(pjoin(data_dir, raw), "rb") as f:
+                instances[raw[:-4]] = pickle.load(f)
+    if not instances:
+        return []
+
+    # per-instance frame_num -> local index maps (instances may enter the
+    # scene at different frames, visualize_tracking_nocs.py:44-49)
+    frame_maps = {}
+    for ins, data in instances.items():
+        T = data["pred"]["poses"]["scale"].shape[0]
+        nums = [int(np.ravel(n)[0]) for n in data["frame_nums"]] \
+            if len(data["frame_nums"]) else list(range(T))
+        frame_maps[ins] = {n: i for i, n in enumerate(nums)}
+    all_frames = sorted({n for m in frame_maps.values() for n in m})
+
+    suffix = "depth" if depth else "color"
+    written = []
+    os.makedirs(out_dir, exist_ok=True)
+    for frame_num in all_frames:
+        image_path = pjoin(img_dir, scene, f"{frame_num}_{suffix}.png")
+        if not os.path.exists(image_path):
+            continue
+        if depth:
+            img = cv2.imread(image_path, -1)
+            img = np.stack([img] * 3, axis=-1).astype(np.uint8)
+        else:
+            img = cv2.imread(image_path)[..., ::-1]  # BGR -> RGB
+        for ins, data in instances.items():
+            if frame_num not in frame_maps[ins]:
+                continue
+            i = frame_maps[ins][frame_num]
+            pred_pose = Pose(**{k: jnp.asarray(v[i]) for k, v in
+                                data["pred"]["poses"].items()})
+            corners = data["gt"]["corners"] if i == 0 \
+                else data["pred"]["corners"][i]
+            boxes = np.asarray(posed_bbox_from_part(pred_pose,
+                                                    jnp.asarray(corners)))
+            img = draw_boxes_on_image(img, boxes, intrinsics, color=color)
+            if draw_gt:
+                gt_pose = Pose(**{k: jnp.asarray(v[i]) for k, v in
+                                  data["gt"]["poses"].items()})
+                gt_boxes = np.asarray(posed_bbox_from_part(
+                    gt_pose, jnp.asarray(data["gt"]["corners"])))
+                img = draw_boxes_on_image(img, gt_boxes, intrinsics,
+                                          color=gt_color)
+        path = pjoin(out_dir, f"{frame_num}.png")
+        cv2.imwrite(path, np.ascontiguousarray(img[..., ::-1]))
+        written.append(path)
+    return written
+
+
 def visualize_results_dir(results_dir: str, out_dir: str | None = None,
                           max_frames: int = 10):
     """Render 3D box plots for saved trajectories (no raw images needed)."""

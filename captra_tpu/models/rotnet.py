@@ -116,12 +116,19 @@ def decode_rotation(out: dict, sym: bool):
 def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
                        labels: jnp.ndarray, pred_nocs: jnp.ndarray,
                        points: jnp.ndarray, points_mean: jnp.ndarray,
-                       num_parts: int, sym: bool) -> Pose:
+                       num_parts: int, sym: bool,
+                       scale_clamp: float = 0.0) -> Pose:
     """Tracking-mode pose update (reference networks.py:210-232):
     R_new = R_state @ R_delta, then fit s/t from predicted NPCS with validity
     fallback to the previous pose.
 
     pred_nocs: [B, P, N, 3]; labels: [B, N] (predicted seg at test time).
+
+    scale_clamp > 0 bounds the per-frame scale *ratio* to
+    [1/(1+c), 1+c] — a DEVIATION from the reference (whose only implicit
+    bound is the crop-radius growth, nocs_data_process.py:95-99) that damps
+    the scale random walk when the NPCS magnitudes are biased; off by
+    default (see EVIDENCE.md "scale drift guard" for measurements).
     """
     merged = merge_delta_pose(state, delta_rotation=delta_rotation)
     cam = (points + points_mean[:, None])[:, None]  # [B, 1, N, 3]
@@ -129,7 +136,12 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
     fitted, valid = part_fit_st(labels, pred_nocs, cam, merged.rotation,
                                 num_parts=num_parts, sym=sym)
     vf = valid.astype(jnp.float32)
-    scale = vf * fitted.scale + (1.0 - vf) * state.scale
+    fitted_scale = fitted.scale
+    if scale_clamp > 0.0:
+        fitted_scale = jnp.clip(fitted_scale,
+                                state.scale / (1.0 + scale_clamp),
+                                state.scale * (1.0 + scale_clamp))
+    scale = vf * fitted_scale + (1.0 - vf) * state.scale
     v3 = vf[..., None, None]
     translation = v3 * fitted.translation + (1.0 - v3) * state.translation
     return Pose(rotation=merged.rotation, translation=translation,

@@ -30,8 +30,39 @@ def data_parallel_mesh(n_devices: int | None = None,
     return Mesh(np.asarray(devs), (axis,))
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS, batch_dim: int = 0):
-    """Place a pytree of arrays with the batch dim sharded over the mesh."""
+DCN_AXIS = "dcn"
+ICI_AXIS = "ici"
+
+
+def hybrid_data_parallel_mesh(dcn: int | None = None, ici: int | None = None,
+                              devices=None) -> Mesh:
+    """2D (dcn, ici) data-parallel mesh for multi-host topologies.
+
+    On a real multi-host TPU slice, `dcn` is the number of hosts/slices
+    (jax.process_count()) and `ici` the chips per host — gradient
+    all-reduces then decompose into fast ICI rings with one DCN hop
+    (scaling-book recipe).  Params stay replicated; the batch axis is
+    sharded over BOTH axes (pass axis=(DCN_AXIS, ICI_AXIS) to shard_batch).
+    On CPU test meshes any (dcn, ici) factorization of the device count
+    works."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if dcn is None:
+        dcn = max(getattr(jax, "process_count", lambda: 1)(), 1)
+    if ici is None:
+        ici = len(devs) // dcn
+    devs = devs[:dcn * ici]
+    return Mesh(np.asarray(devs).reshape(dcn, ici), (DCN_AXIS, ICI_AXIS))
+
+
+def shard_batch(batch, mesh: Mesh, axis=None, batch_dim: int = 0):
+    """Place a pytree of arrays with the batch dim sharded over the mesh.
+
+    `axis` defaults to ALL mesh axes (1D data mesh -> "data"; hybrid
+    (dcn, ici) mesh -> batch sharded over both)."""
+    if axis is None:
+        axis = mesh.axis_names if len(mesh.axis_names) > 1 \
+            else mesh.axis_names[0]
+
     def put(x):
         spec = [None] * x.ndim
         spec[batch_dim] = axis

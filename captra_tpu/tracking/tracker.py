@@ -77,8 +77,8 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
 
     def otf_points(pose: Pose, frame: dict):
         from captra_tpu.data.preprocess import (
-            NOCS_REAL_INTRINSICS, backproject_depth, crop_ball_batch,
-            select_detection_mask,
+            NOCS_REAL_INTRINSICS, backproject_depth_planes,
+            crop_ball_batch_planes, select_detection_mask,
         )
         K = intrinsics if intrinsics is not None else NOCS_REAL_INTRINSICS
         center = pose.translation[:, root, :, 0]          # [B, 3]
@@ -102,14 +102,15 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
         else:
             masks = frame["mask"]
 
-        pts, valid = jax.vmap(lambda d: backproject_depth(d, K))(
+        pts3, valid = jax.vmap(lambda d: backproject_depth_planes(d, K))(
             frame["depth"])
-        points, idx = crop_ball_batch(keys, pts, valid, center, radius,
-                                      cfg.num_points,
-                                      work_factor=cfg.track.otf_work_factor)
+        points3, idx = crop_ball_batch_planes(
+            keys, pts3, valid, center, radius, cfg.num_points,
+            work_factor=cfg.track.otf_work_factor,
+            fps_mode=cfg.track.otf_fps_mode)
         labels = 1 - jnp.take_along_axis(
             masks.reshape(masks.shape[0], -1), idx, axis=1).astype(jnp.int32)
-        return points, labels
+        return jnp.swapaxes(points3, -1, -2), labels
 
     def step(pose: Pose, frame: dict):
         if cfg.track.nocs_otf:
@@ -146,7 +147,8 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
             nocs.reshape(B, N, obj.num_parts, 3), 2, 1)  # [B, P, N, 3]
         new_pose = compose_track_pose(pose, delta, labels, pred_npcs,
                                       points, points_mean,
-                                      num_parts=obj.num_parts, sym=obj.sym)
+                                      num_parts=obj.num_parts, sym=obj.sym,
+                                      scale_clamp=cfg.track.scale_clamp)
         return new_pose, TrackAux(pose=new_pose, pred_labels=pred_labels,
                                   seg=seg, nocs=nocs)
 

@@ -1,0 +1,118 @@
+"""OTF tracking throughput at the reference's own speed protocol.
+
+The reference measures tracking FPS with batch_size=1 *including* per-frame
+data preprocessing (/root/reference/network/test.py:77-96, README.md:267:
+"use --batch_size=1").  Here the equivalent is the nocs_otf scan: raw
+480x640 depth frames enter the jitted loop, and backprojection + ball crop +
+FPS + CoordNet + RotationNet + analytic s/t fit all run on device.
+
+Usage: python scripts/bench_otf.py [--batches 1,4,8] [--work-factor 5]
+Prints one line per batch size: fps, ms/frame.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def make_depth_frames(T: int, B: int, H: int = 480, W: int = 640, seed=0):
+    """Synthetic depth video: flat background at 1.5 m + a moving square
+    object blob at ~1.0 m, NOCS-real shaped."""
+    rng = np.random.RandomState(seed)
+    depths = np.full((T, B, H, W), 1500, np.int32)
+    masks = np.zeros((T, B, H, W), bool)
+    for b in range(B):
+        ox, oy = rng.randint(200, 360), rng.randint(150, 260)
+        for t in range(T):
+            m = np.zeros((H, W), bool)
+            m[oy + t:oy + t + 90, ox + t:ox + t + 90] = True
+            depths[t, b][m] = 1000 + rng.randint(-20, 20)
+            masks[t, b] = m
+    return jnp.asarray(depths), jnp.asarray(masks)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,4,8")
+    ap.add_argument("--work-factor", type=int, default=5)
+    ap.add_argument("--fps-mode", default="exact",
+                    choices=["exact", "grouped"])
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    from captra_tpu.config import get_config
+    from captra_tpu.data.preprocess import (NOCS_REAL_INTRINSICS,
+                                            backproject_depth)
+    from captra_tpu.models.coordnet import CoordNet
+    from captra_tpu.models.rotnet import RotNet
+    from captra_tpu.pose.part_dof import Pose
+    from captra_tpu.tracking.tracker import make_track_step, track_trajectory
+
+    cfg = get_config("config_track.yml", overrides={
+        "obj_config": "obj_info_nocs.yml", "obj_category": "1",
+        "init_frame/gt": True,
+        "nocs_otf": True,
+        "track_cfg/otf_work_factor": args.work_factor,
+        "track_cfg/otf_fps_mode": args.fps_mode,
+        "network/compute_dtype": args.dtype,
+    })
+    N, P = cfg.num_points, cfg.obj.num_parts
+    coord, rotn = CoordNet(cfg), RotNet(cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cv = coord.init(k1, jnp.zeros((1, N, 3)), train=False)
+    rv = rotn.init(k2, jnp.zeros((1, P, N, 3)), jnp.zeros((1, N), jnp.int32),
+                   train=False)
+    step = make_track_step(
+        cfg,
+        lambda p: coord.apply(cv, p, train=False),
+        lambda p, l: rotn.apply(rv, p, l, train=False))
+    run = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
+
+    T = args.frames
+    for B in [int(x) for x in args.batches.split(",")]:
+        depths, masks = make_depth_frames(T, B)
+        # init pose centered on the frame-0 blob
+        pts0, _ = backproject_depth(depths[0, 0], NOCS_REAL_INTRINSICS)
+        c0 = np.asarray(pts0).reshape(480, 640, 3)[np.asarray(masks[0, 0])]
+        center = c0.mean(0)
+        init_pose = Pose(
+            rotation=jnp.broadcast_to(jnp.eye(3), (B, P, 3, 3)),
+            translation=jnp.broadcast_to(jnp.asarray(center).reshape(1, 1, 3, 1),
+                                         (B, P, 3, 1)),
+            scale=jnp.full((B, P), 0.3))
+        frames = {"depth": depths, "mask": masks,
+                  "key": jnp.arange(T, dtype=jnp.int32)}
+        t0 = time.time()
+        out = run(init_pose, frames)
+        jax.block_until_ready(out)
+        print(f"# B={B} compile+warm: {time.time() - t0:.1f}s")
+        reps = 5 if B == 1 else 3
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run(init_pose, frames)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        fps = (T - 1) * B / best
+        print(f"OTF B={B} wf={args.work_factor} fps_mode={args.fps_mode}: "
+              f"{fps:.1f} frames/s "
+              f"({best / (T - 1) * 1e3:.2f} ms/frame-batch)")
+
+
+if __name__ == "__main__":
+    main()

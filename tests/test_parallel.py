@@ -1,5 +1,7 @@
 """Multi-device sharding tests on the 8-virtual-CPU-device mesh
 (SURVEY.md §4: fake-mesh tests for the multi-chip batching)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,3 +90,89 @@ def test_tracking_shards_over_trajectories(key):
         init_pose, frames)
     assert aux.pose.rotation.shape == (T - 1, B, 1, 3, 3)
     assert np.isfinite(np.asarray(aux.pose.scale)).all()
+
+
+def test_hybrid_2d_mesh_train_step(key):
+    """(dcn, ici) 2D mesh: batch sharded over BOTH axes must match the 1D
+    data-parallel loss (GSPMD decomposes the all-reduce per axis)."""
+    from captra_tpu.parallel.mesh import hybrid_data_parallel_mesh
+
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,), extra_dims=1)
+    cfg = tiny_config().replace(
+        obj=obj, network=NetworkCfg(type="canon_coord", backbone_out_dim=32,
+                                    nocs_head_dims=(16,)))
+    trainer = Trainer(cfg, steps_per_epoch=10)
+    batch = make_frame_batch(0, obj, batch=8, num_points=128)
+    state = trainer.init_state(key, batch)
+
+    mesh2d = hybrid_data_parallel_mesh(dcn=2, ici=4)
+    assert mesh2d.devices.shape == (2, 4)
+    sharded = shard_batch(batch, mesh2d)          # over both axes
+    state_rep = replicate(state, mesh2d)
+    _, loss_2d, _ = trainer.train_step(state_rep, sharded, key)
+
+    _, loss_1dev, _ = trainer.train_step(state, batch, key)
+    np.testing.assert_allclose(float(loss_2d["total_loss"]),
+                               float(loss_1dev["total_loss"]), rtol=1e-4)
+
+
+_MP_SCRIPT = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=4")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, os.getcwd())
+from captra_tpu.parallel.mesh import hybrid_data_parallel_mesh, shard_batch
+mesh = hybrid_data_parallel_mesh()          # dcn=2 processes, ici=4 local
+assert mesh.devices.shape == (2, 4), mesh.devices.shape
+x = np.arange(16, dtype=np.float32).reshape(16, 1) + 100 * pid
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(("dcn", "ici"))), x, (32, 1))
+total = jax.jit(lambda a: jnp.sum(a),
+                out_shardings=NamedSharding(mesh, P()))(garr)
+want = float(np.arange(16).sum() * 2 + 100 * 16)
+assert abs(float(total) - want) < 1e-3, (float(total), want)
+print(f"proc {pid}: ok total={float(total)}")
+"""
+
+
+def test_multiprocess_dcn_mesh(tmp_path):
+    """Two jax.distributed CPU processes x 4 local devices -> a global
+    (2, 4) (dcn, ici) mesh with a cross-process reduction (SURVEY.md §5
+    distributed-backend note).  Runs anywhere: spawns its own processes."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    script = tmp_path / "mp_worker.py"
+    script.write_text(_MP_SCRIPT)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), port],
+                              env=env, cwd=os.getcwd(),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=120)
+            outs.append(out.decode())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+    assert all("ok total=" in o for o in outs), "\n".join(outs)

@@ -76,6 +76,26 @@ def test_fps_pallas_interpret_matches_xla(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fps_pallas_wide_interpret_matches_oracle(rng):
+    # single-cloud wide kernel (one cloud across all 8 sublanes): exact
+    # max-min picks with first-index tie-break, vs the numpy oracle
+    from captra_tpu.ops.fps_pallas import fps_pallas_wide
+    xyz = rng.randn(2, 1024, 3).astype(np.float32)
+    want = np_fps(xyz, 64)
+    got = np.asarray(fps_pallas_wide(jnp.asarray(xyz), 64, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_pallas_wide_interpret_padded(rng):
+    # N not a multiple of 8*128: pads with copies of point 0, which must
+    # never displace a real pick
+    from captra_tpu.ops.fps_pallas import fps_pallas_wide
+    xyz = rng.randn(1, 1100, 3).astype(np.float32)
+    want = np_fps(xyz, 48)
+    got = np.asarray(fps_pallas_wide(jnp.asarray(xyz), 48, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fps_spreads_points():
     # A cloud with 4 well-separated clusters: FPS(4) must hit all of them.
     centers = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0], [0, 0, 10]],

@@ -52,6 +52,49 @@ def test_visualize_results_dir(tmp_path, rng):
     assert all(os.path.exists(p) for p in written)
 
 
+def test_visualize_scene_images(tmp_path, rng):
+    """Scene walkthrough: fake NOCS-layout scene images + two instance
+    result pickles -> per-frame overlay PNGs (reference
+    visualize_tracking_nocs.py:36-114)."""
+    import cv2
+    from captra_tpu.tracking.results import save_track_result
+    from captra_tpu.eval.visualize import visualize_scene_images
+    from tests.test_models import _make_pose
+
+    T, P = 3, 1
+    corners = np.tile(np.array([[[-0.1, -0.1, -0.1], [0.1, 0.1, 0.1]]],
+                               np.float32), (P, 1, 1))
+    results = str(tmp_path / "results")
+    for ins, frames in [("bottle_a_scene_1", [0, 1, 2]),
+                        ("can_b_scene_1", [1, 2, 3])]:
+        pose = _make_pose(rng, T, P)
+        # park the object in front of the camera (z < 0 in NOCS convention)
+        pose = pose.replace(
+            translation=np.tile(np.array([0, 0, -1.0], np.float32)
+                                .reshape(1, 1, 3, 1), (T, P, 1, 1)))
+        save_track_result(results, ins, pose, pose,
+                          np.tile(corners, (T, 1, 1, 1)), corners,
+                          frame_nums=[[f] for f in frames])
+
+    img_dir = tmp_path / "imgs"
+    (img_dir / "scene_1").mkdir(parents=True)
+    for f in range(4):
+        cv2.imwrite(str(img_dir / "scene_1" / f"{f}_color.png"),
+                    np.full((480, 640, 3), 30, np.uint8))
+        cv2.imwrite(str(img_dir / "scene_1" / f"{f}_depth.png"),
+                    np.full((480, 640), 1000, np.uint16))
+
+    written = visualize_scene_images(results, str(img_dir), "scene_1",
+                                     draw_gt=True)
+    assert len(written) == 4          # union of both instances' frames
+    img = cv2.imread(written[1])
+    assert img is not None and img.sum() > 30 * img.size  # boxes drawn
+
+    depth_written = visualize_scene_images(results, str(img_dir), "scene_1",
+                                           depth=True)
+    assert len(depth_written) == 4
+
+
 def test_draw_boxes_on_image(rng):
     from captra_tpu.eval.visualize import draw_boxes_on_image
     img = np.zeros((480, 640, 3), np.uint8)
