@@ -85,8 +85,14 @@ def make_data(cfg, batch: int, num_frames: int):
     return init_pose, {"points": data["points"]}
 
 
-def bench_otf(batches, num_frames: int = 20, fps_mode: str = "exact"):
-    """Reference speed protocol: OTF crop in-graph, per-batch fps dict."""
+def bench_otf(batches, num_frames: int = 100, fps_mode: str = "exact"):
+    """Reference speed protocol: OTF crop in-graph, per-batch fps dict.
+
+    num_frames defaults to 100 — the reference's own trajectory length
+    (obj_info_sapien.yml num_frames: 100; NOCS real scenes are hundreds of
+    frames, README.md:267 suggests --dataset_length=500).  Short scans would
+    bill the fixed per-invocation dispatch overhead (~tens of ms through
+    the remote tunnel) to the per-frame number."""
     from captra_tpu.config import get_config
     from captra_tpu.data.preprocess import (NOCS_REAL_INTRINSICS,
                                             backproject_depth)
@@ -99,7 +105,11 @@ def bench_otf(batches, num_frames: int = 20, fps_mode: str = "exact"):
     cfg = get_config("config_track.yml", overrides={
         "obj_config": "obj_info_nocs.yml", "obj_category": "1",
         "init_frame/gt": True, "nocs_otf": True,
+        # "grouped" = the latency-optimized configuration: stratified FPS in
+        # BOTH the crop and the backbone SA layers (deviations quantified in
+        # tests/test_approx_parity.py; backbone mode must match training)
         "track_cfg/otf_fps_mode": fps_mode,
+        "network/fps_mode": fps_mode,
         "network/compute_dtype": os.environ.get("CAPTRA_BENCH_DTYPE",
                                                 "bfloat16"),
     })

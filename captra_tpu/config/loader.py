@@ -123,6 +123,7 @@ def get_config(config: str = "config_track.yml",
         nocs_head_dims=tuplify(net_raw.get("nocs_head_dims", [128])),
         pwm_num=int(net_raw.get("pwm_num", 128)),
         compute_dtype=str(net_raw.get("compute_dtype", "float32")),
+        fps_mode=str(net_raw.get("fps_mode", "exact")),
     )
 
     pp = raw.get("pose_perturb", {})

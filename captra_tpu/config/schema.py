@@ -83,6 +83,9 @@ class NetworkCfg:
     # MXU compute dtype for the backbone/heads ("bfloat16" on TPU for ~2x
     # bandwidth; pose math stays float32 regardless)
     compute_dtype: str = "float32"
+    # backbone SA-layer centroid sampling: "exact" | "grouped" (stratified
+    # approximation, latency win at batch 1; train/test must match)
+    fps_mode: str = "exact"
 
 
 @dataclass(frozen=True)

@@ -17,14 +17,21 @@ from captra_tpu.models.blocks import PointMLP
 
 class SetAbstractionMsg(nn.Module):
     """FPS -> per-radius ball query -> grouped MLP -> max-pool, multi-scale
-    (reference PointNetSetAbstractionMsg, pointnet_utils.py:191-250)."""
+    (reference PointNetSetAbstractionMsg, pointnet_utils.py:191-250).
+
+    fps_mode "grouped" swaps the exact centroid FPS for the stratified
+    8-way approximation (deviation; ~0.25 ms/net saved at batch 1 — the
+    exact kernel is latency-bound).  Train and test must use the same mode.
+    """
     cfg: SAMsgCfg
     bn_momentum: float = 0.9
     dtype: jnp.dtype | None = None
+    fps_mode: str = "exact"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = False):
-        fps_idx = ops.farthest_point_sample(xyz, self.cfg.npoint)
+        fps_idx = ops.farthest_point_sample(xyz, self.cfg.npoint,
+                                            mode=self.fps_mode)
         new_xyz = ops.gather_xyz(xyz, fps_idx)  # [B, S, 3]
         outs = []
         for i, (radius, k, mlp) in enumerate(zip(
@@ -92,6 +99,7 @@ class PointNet2Msg(nn.Module):
     use_xyz_feat: bool = False
     bn_momentum: float = 0.9
     dtype: jnp.dtype | None = None
+    fps_mode: str = "exact"
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -99,9 +107,11 @@ class PointNet2Msg(nn.Module):
         l0_feats = xyz if self.use_xyz_feat else None
 
         l1_xyz, l1 = SetAbstractionMsg(self.cfg.sa1, self.bn_momentum,
-                                       self.dtype, name="sa1")(l0_xyz, l0_feats, train)
+                                       self.dtype, self.fps_mode,
+                                       name="sa1")(l0_xyz, l0_feats, train)
         l2_xyz, l2 = SetAbstractionMsg(self.cfg.sa2, self.bn_momentum,
-                                       self.dtype, name="sa2")(l1_xyz, l1, train)
+                                       self.dtype, self.fps_mode,
+                                       name="sa2")(l1_xyz, l1, train)
         l3_xyz, l3 = SetAbstractionAll(self.cfg.sa3_mlp, self.bn_momentum,
                                        self.dtype, name="sa3")(l2_xyz, l2, train)
 

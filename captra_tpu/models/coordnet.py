@@ -35,8 +35,8 @@ class CoordNet(nn.Module):
             if net.compute_dtype != "float32" else None
         feat = PointNet2Msg(self.cfg.pointnet, net.backbone_out_dim,
                             use_xyz_feat=True, bn_momentum=self.bn_momentum,
-                            dtype=dtype, name="backbone")(canon_points,
-                                                          train=train)
+                            dtype=dtype, fps_mode=net.fps_mode,
+                            name="backbone")(canon_points, train=train)
         seg_logits = PointMLP((self.cfg.obj.num_seg,), norm="none",
                               final_acti="none", dtype=dtype,
                               name="seg_head")(feat, train)

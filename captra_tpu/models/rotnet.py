@@ -74,7 +74,8 @@ class RotNet(nn.Module):
         feat = PointNet2Msg(self.cfg.pointnet,
                             self.cfg.network.backbone_out_dim,
                             use_xyz_feat=False, bn_momentum=self.bn_momentum,
-                            dtype=dtype, name="encoder")(flat, train=train)
+                            dtype=dtype, fps_mode=self.cfg.network.fps_mode,
+                            name="encoder")(flat, train=train)
         feat = feat.reshape(B, P, N, -1)
         point_rtvec = RotationRegressor(obj.num_parts, obj.sym, dtype=dtype,
                                         name="regressor")(feat)

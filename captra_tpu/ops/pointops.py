@@ -32,18 +32,33 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
 # sampling
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("npoint", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("npoint", "use_pallas", "mode"))
 def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
-                          use_pallas: bool | None = None) -> jnp.ndarray:
+                          use_pallas: bool | None = None,
+                          mode: str = "exact") -> jnp.ndarray:
     """Iterative max-min sampling: xyz [B, N, 3] -> indices [B, npoint].
 
     Deterministic start at index 0 (the CUDA kernel's convention,
     sampling_gpu.cu:92-253; the torch fallback randomizes —
     pointnet_utils.py:129).  Invalid/padded points can be pushed to the end by
     setting their coords to a far sentinel before calling.
+
+    mode "grouped" is the stratified 8-way approximation (see
+    `farthest_point_sample_grouped_t`): npoint/8 sequential picks per
+    stratum, all strata in parallel — a latency win at small batch, a
+    documented deviation from exact FPS.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if mode == "grouped":
+        B, N, _ = xyz.shape
+        G = 8
+        idx = farthest_point_sample(
+            jnp.moveaxis(xyz.reshape(B, N // G, G, 3), 2, 1)
+            .reshape(B * G, N // G, 3),
+            npoint // G, use_pallas=use_pallas)
+        g = jnp.arange(G, dtype=idx.dtype)[None, :, None]
+        return (idx.reshape(B, G, npoint // G) * G + g).reshape(B, npoint)
     if use_pallas:
         from captra_tpu.ops.fps_pallas import fps_pallas
         return fps_pallas(xyz, npoint)

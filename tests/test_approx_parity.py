@@ -217,3 +217,31 @@ def test_otf_tracking_fps_mode_parity():
         assert (np.abs(t[..., 2] + 1.0) < 0.2).all(), (mode, t)
     delta = np.abs(results["exact"] - results["grouped"]).max()
     assert delta < 0.02, delta
+
+
+def test_backbone_grouped_fps_mode(key, rng):
+    """network/fps_mode=grouped: backbone runs, output shape unchanged, and
+    centroid sampling is the documented stratified approximation."""
+    from captra_tpu.models.backbone import PointNet2Msg
+    from tests.test_models import tiny_pointnet
+
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32)) * 0.3
+    net = PointNet2Msg(tiny_pointnet(), out_dim=32, use_xyz_feat=True,
+                       fps_mode="grouped")
+    variables = net.init(key, xyz, train=False)
+    out = net.apply(variables, xyz, train=False)
+    assert out.shape == (2, 128, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fps_mode_grouped_matches_grouped_t(rng):
+    """Row-layout mode='grouped' must pick the same indices as the planes
+    grouped sampler."""
+    from captra_tpu.ops.pointops import (farthest_point_sample,
+                                         farthest_point_sample_grouped_t)
+    xyz = jnp.asarray(rng.rand(2, 1024, 3).astype(np.float32))
+    a = np.asarray(farthest_point_sample(xyz, 64, use_pallas=False,
+                                         mode="grouped"))
+    b = np.asarray(farthest_point_sample_grouped_t(
+        jnp.swapaxes(xyz, -1, -2), 64, use_pallas=False))
+    np.testing.assert_array_equal(a, b)
