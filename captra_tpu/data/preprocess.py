@@ -159,7 +159,7 @@ def crop_ball_batch_planes(keys: jax.Array, pts3: jnp.ndarray,
                            radius: jnp.ndarray, num_points: int,
                            work_factor: int = 5, max_grow: int = 10,
                            fps_mode: str = "exact"):
-    """`crop_ball_batch` on planes-layout clouds: pts3 [B, 3, M], valid
+    """Batched ball crop on planes-layout clouds: pts3 [B, 3, M], valid
     [B, M], center [B, 3], radius [B] -> (points3 [B, 3, num_points], idx
     [B, num_points]).  Same bucket-select semantics and identical FPS picks
     — but every stage is lane-parallel plane arithmetic and the FPS kernel
@@ -209,49 +209,6 @@ def crop_ball_batch_planes(keys: jax.Array, pts3: jnp.ndarray,
     final = jnp.take_along_axis(take, fps_idx, axis=1)
     points3 = jnp.take_along_axis(pts3, final[:, None], axis=-1)
     return points3, final
-
-
-@functools.partial(jax.jit, static_argnames=("num_points", "work_factor",
-                                             "max_grow", "method"))
-def crop_ball_batch(keys: jax.Array, pts: jnp.ndarray, valid: jnp.ndarray,
-                    center: jnp.ndarray, radius: jnp.ndarray,
-                    num_points: int, work_factor: int = 5,
-                    max_grow: int = 10, method: str | None = None):
-    """Batched `crop_ball`: pts [B, M, 3], valid [B, M], center [B, 3],
-    radius [B] -> (points [B, num_points, 3], idx [B, num_points]).
-
-    The masking/selection stages vmap (pure VPU); the FPS runs as ONE
-    batched Pallas call so all B clouds pack into sublane tiles — a naive
-    `jax.vmap(crop_ball)` lowers the FPS kernel to one grid cell per cloud
-    with 7/8 sublanes idle (measured 21 ms/frame at B=4 on v5e).
-    """
-    def prep(key, p, v, c, r):
-        M = p.shape[0]
-        dist = jnp.where(v, jnp.linalg.norm(p - c, axis=-1), jnp.inf)
-        rr = jnp.maximum(r, 0.05)
-        radii = rr * (1.1 ** jnp.arange(max_grow))
-        counts = jnp.sum(dist[None, :] <= radii[:, None], axis=-1)
-        k = jnp.argmax(counts >= 10)
-        k = jnp.where(counts[k] >= 10, k, max_grow - 1)
-        in_ball = dist <= radii[k]
-        in_ball = jnp.where(jnp.any(in_ball), in_ball, v)
-        W = min(work_factor * num_points, M)
-        G = -(-M // W)
-        shift = jax.random.randint(key, (), 0, M)
-        rolled = jnp.roll(in_ball, -shift)
-        mb = jnp.pad(rolled, (0, W * G - M)).reshape(W, G)
-        found = jnp.any(mb, axis=-1)
-        first = jnp.argmax(mb, axis=-1)
-        cand = (jnp.arange(W) * G + first + shift) % M
-        fb = (jnp.argmax(rolled) + shift) % M
-        take = jnp.where(found, cand, fb)
-        return take, p[take]
-
-    take, sub = jax.vmap(prep)(keys, pts, valid, center, radius)
-    fps_idx = farthest_point_sample(sub, num_points)       # one batched call
-    final = jnp.take_along_axis(take, fps_idx, axis=1)
-    points = jnp.take_along_axis(pts, final[..., None], axis=1)
-    return points, final
 
 
 def projected_bbox_2d(center: jnp.ndarray, radius: jnp.ndarray,

@@ -68,9 +68,14 @@ def main():
         t0 = time.time()
         k = key
         last = {}
+        batch_cache = {}  # 157 distinct batches; host generation is slow
         for i in range(steps):
-            b = make_frame_batch(i % 157, cfg.obj, batch=args.batch,
-                                 num_points=cfg.num_points)
+            ci = i % 157
+            if ci not in batch_cache:
+                batch_cache[ci] = make_frame_batch(
+                    ci, cfg.obj, batch=args.batch,
+                    num_points=cfg.num_points)
+            b = batch_cache[ci]
             k, sub = jax.random.split(k)
             state, loss, metrics = trainer.train_step(state, b, sub)
             if i % 100 == 0 or i == steps - 1:
