@@ -152,6 +152,7 @@ def get_config(config: str = "config_track.yml",
         lr_gamma=float(raw.get("lr_gamma", 0.5)),
         lr_step_size=int(raw.get("lr_step_size", 20)),
         lr_clip=float(raw.get("lr_clip", 1e-5)),
+        grad_clip=float(raw.get("grad_clip", 0.0)),
         bn_momentum_original=float(raw.get("momentum_original", 0.1)),
         bn_momentum_decay=float(raw.get("momentum_decay", 0.5)),
         bn_momentum_step_size=int(raw.get("momentum_step_size", 20)),

@@ -128,6 +128,10 @@ class OptimCfg:
     lr_gamma: float = 0.5
     lr_step_size: int = 20
     lr_clip: float = 1e-5
+    # global-norm gradient clip, 0 = off (deviation: the reference never
+    # clips, but bf16 training can hit one-off gradient spikes — a measured
+    # RotationNet run diverged irrecoverably at step ~2400 without it)
+    grad_clip: float = 0.0
     # BN momentum schedule (torch convention: running += m * batch;
     # reference trainer.py:135-145)
     bn_momentum_original: float = 0.1

@@ -68,14 +68,26 @@ def bn_momentum_for_epoch(cfg: Config, epoch: int) -> float:
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     o = cfg.optim
     schedule = make_lr_schedule(cfg, steps_per_epoch)
+    # grad_clip must be robust to inf/NaN spikes: clip_by_global_norm alone
+    # turns an inf gradient into NaN params (global_norm = inf -> scale 0 ->
+    # inf * 0), which then sticks forever through Adam — observed as a
+    # deterministic RotationNet collapse at step ~2384 (bf16, sym bottle).
+    # zero_nans drops true NaNs, the elementwise clip bounds inf/huge
+    # entries without computing an overflowable norm, then the global-norm
+    # clip applies the configured bound.
+    clip = [optax.zero_nans(), optax.clip(1e4),
+            optax.clip_by_global_norm(o.grad_clip)] if o.grad_clip > 0 \
+        else []
     if o.optimizer == "adam":
         return optax.chain(
+            *clip,
             optax.add_decayed_weights(o.weight_decay),  # torch L2-into-grad
             optax.scale_by_adam(),
             optax.scale_by_learning_rate(schedule),
         )
     if o.optimizer == "sgd":
         return optax.chain(
+            *clip,
             optax.add_decayed_weights(o.weight_decay),
             optax.trace(decay=0.9),
             optax.scale_by_learning_rate(schedule),

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--category", type=str, default="1")
     ap.add_argument("--dtype", type=str, default="float32")
     ap.add_argument("--rot_steps", type=int, default=None)
+    ap.add_argument("--grad_clip", type=float, default=0.0)
     args = ap.parse_args()
 
     import jax
@@ -58,6 +59,7 @@ def main():
         cfg = get_config(config, overrides={
             "obj_config": "obj_info_nocs.yml", "obj_category": args.category,
             "batch_size": args.batch,
+            "grad_clip": args.grad_clip,
             "network/compute_dtype": args.dtype})
         trainer = Trainer(cfg, steps_per_epoch=200)
         batch0 = make_frame_batch(0, cfg.obj, batch=args.batch,

@@ -102,3 +102,23 @@ def test_full_pipeline(config_dir, tmp_path, monkeypatch):
     row = next(iter(err.values()))
     assert "rdiff_0" in row and "theta_diff_0" in row
     assert np.isfinite(list(row.values())).all()
+
+
+def test_track_bucket_helpers():
+    import jax.numpy as jnp
+    import numpy as np
+    from captra_tpu.cli.track import _bucket_length, _pad_frames
+
+    assert _bucket_length(5) == 8
+    assert _bucket_length(8) == 8
+    assert _bucket_length(9) == 16
+    assert _bucket_length(100) == 128
+
+    frames = {"points": jnp.arange(5 * 2 * 3, dtype=jnp.float32)
+              .reshape(5, 2, 3), "key": jnp.arange(5)}
+    padded = _pad_frames(frames, 5, 8)
+    assert padded["points"].shape == (8, 2, 3)
+    # padded steps replicate the final frame
+    np.testing.assert_array_equal(np.asarray(padded["points"][5]),
+                                  np.asarray(frames["points"][4]))
+    assert _pad_frames(frames, 5, 5) is frames
