@@ -85,78 +85,6 @@ def make_data(cfg, batch: int, num_frames: int):
     return init_pose, {"points": data["points"]}
 
 
-def bench_otf(batches, num_frames: int = 100, fps_mode: str = "exact"):
-    """Reference speed protocol: OTF crop in-graph, per-batch fps dict.
-
-    num_frames defaults to 100 — the reference's own trajectory length
-    (obj_info_sapien.yml num_frames: 100; NOCS real scenes are hundreds of
-    frames, README.md:267 suggests --dataset_length=500).  Short scans would
-    bill the fixed per-invocation dispatch overhead (~tens of ms through
-    the remote tunnel) to the per-frame number."""
-    from captra_tpu.config import get_config
-    from captra_tpu.data.preprocess import (NOCS_REAL_INTRINSICS,
-                                            backproject_depth)
-    from captra_tpu.models.coordnet import CoordNet
-    from captra_tpu.models.rotnet import RotNet
-    from captra_tpu.pose.part_dof import Pose
-    from captra_tpu.tracking.tracker import make_track_step, track_trajectory
-    from scripts.bench_otf import make_depth_frames
-
-    cfg = get_config("config_track.yml", overrides={
-        "obj_config": "obj_info_nocs.yml", "obj_category": "1",
-        "init_frame/gt": True, "nocs_otf": True,
-        # "grouped" = the latency-optimized configuration: stratified FPS in
-        # BOTH the crop and the backbone SA layers (deviations quantified in
-        # tests/test_approx_parity.py; backbone mode must match training)
-        "track_cfg/otf_fps_mode": fps_mode,
-        "network/fps_mode": fps_mode,
-        "network/compute_dtype": os.environ.get("CAPTRA_BENCH_DTYPE",
-                                                "bfloat16"),
-    })
-    N, P = cfg.num_points, cfg.obj.num_parts
-    coord, rotn = CoordNet(cfg), RotNet(cfg)
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    cv = coord.init(k1, jnp.zeros((1, N, 3)), train=False)
-    rv = rotn.init(k2, jnp.zeros((1, P, N, 3)), jnp.zeros((1, N), jnp.int32),
-                   train=False)
-    step = make_track_step(
-        cfg,
-        lambda p: coord.apply(cv, p, train=False),
-        lambda p, l: rotn.apply(rv, p, l, train=False))
-    run = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
-
-    results = {}
-    for B in batches:
-        try:
-            depths, masks = make_depth_frames(num_frames, B)
-            pts0, _ = backproject_depth(depths[0, 0], NOCS_REAL_INTRINSICS)
-            c0 = np.asarray(pts0).reshape(480, 640, 3)[
-                np.asarray(masks[0, 0])].mean(0)
-            init_pose = Pose(
-                rotation=jnp.broadcast_to(jnp.eye(3), (B, P, 3, 3)),
-                translation=jnp.broadcast_to(
-                    jnp.asarray(c0).reshape(1, 1, 3, 1), (B, P, 3, 1)),
-                scale=jnp.full((B, P), 0.3))
-            frames = {"depth": depths, "mask": masks,
-                      "key": jnp.arange(num_frames, dtype=jnp.int32)}
-            t0 = time.time()
-            out = run(init_pose, frames)
-            jax.block_until_ready(out)
-            print(f"# otf batch={B} compile+warm: {time.time() - t0:.1f}s")
-            best = np.inf
-            for _ in range(3):
-                t0 = time.perf_counter()
-                out = run(init_pose, frames)
-                jax.block_until_ready(out)
-                best = min(best, time.perf_counter() - t0)
-            results[B] = (num_frames - 1) * B / best
-            print(f"# otf batch={B} fps_mode={fps_mode}: "
-                  f"{results[B]:.1f} frames/sec/chip")
-        except Exception as e:  # noqa: BLE001 — report what we can
-            print(f"# otf batch={B} failed: {e}")
-    return results
-
-
 def main():
     num_frames = 20
     batches = [int(b) for b in
@@ -192,13 +120,13 @@ def main():
     otf_env = os.environ.get("CAPTRA_BENCH_OTF_BATCHES", "1,8")
     otf, otf_grouped = {}, {}
     if otf_env:
+        from scripts.bench_otf import measure_otf
         otf_batches = [int(b) for b in otf_env.split(",") if b]
-        otf = bench_otf(otf_batches)
-        # grouped stratified FPS (track_cfg/otf_fps_mode=grouped): the
-        # latency-optimized single-stream mode, deviation quantified in
-        # tests/test_approx_parity.py
-        otf_grouped = bench_otf([b for b in otf_batches if b == 1],
-                                fps_mode="grouped")
+        otf = measure_otf(otf_batches)
+        # "grouped" = latency-optimized config (stratified FPS in crop AND
+        # backbone), deviation quantified in tests/test_approx_parity.py
+        otf_grouped = measure_otf([b for b in otf_batches if b == 1],
+                                  fps_mode="grouped")
     print(json.dumps({
         "metric": "tracked_frames_per_sec_per_chip",
         "value": round(best_fps, 2),

@@ -115,8 +115,9 @@ def track_sequences(cfg, step, sequences, save: bool = False,
         dt = time.perf_counter() - t0
         aux = jax.tree.map(lambda x: x[:T - 1], aux)
         total_frames += T - 1
-        total_time += dt * (T - 1) / (Tb - 1)  # padded steps are not frames
-        print(f"{name}: {T - 1} frames in {dt:.3f}s "
+        eff = dt * (T - 1) / (Tb - 1)  # padded steps are not frames
+        total_time += eff
+        print(f"{name}: {T - 1} frames in {eff:.3f}s "
               f"({(Tb - 1) / dt:.1f} fps, bucket {Tb})")
 
         if not no_eval:
@@ -134,7 +135,11 @@ def track_sequences(cfg, step, sequences, save: bool = False,
             gt_corners = np.asarray(batch["corners"][0, 0])
             save_track_result(pjoin(cfg.experiment_dir, "results"),
                               name.replace("/", "_"), pred_poses, gt_poses,
-                              pred_corners, gt_corners)
+                              pred_corners, gt_corners,
+                              # tracked frames are 1..T-1 (frame 0's pose is
+                              # the given init) — recorded so the scene
+                              # visualizer aligns boxes to image frames
+                              frame_nums=[[t] for t in range(1, T)])
     if total_time > 0:
         print(f"TOTAL: {total_frames} frames, "
               f"{total_frames / total_time:.1f} fps")

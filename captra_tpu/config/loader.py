@@ -124,6 +124,7 @@ def get_config(config: str = "config_track.yml",
         pwm_num=int(net_raw.get("pwm_num", 128)),
         compute_dtype=str(net_raw.get("compute_dtype", "float32")),
         fps_mode=str(net_raw.get("fps_mode", "exact")),
+        norm=str(net_raw.get("norm", "bn")),
     )
 
     pp = raw.get("pose_perturb", {})

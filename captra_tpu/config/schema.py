@@ -86,6 +86,10 @@ class NetworkCfg:
     # backbone SA-layer centroid sampling: "exact" | "grouped" (stratified
     # approximation, latency win at batch 1; train/test must match)
     fps_mode: str = "exact"
+    # backbone/head normalization: "bn" (reference parity) | "gn"
+    # (GroupNorm: no train/eval statistics gap, batch-size independent —
+    # see PointNet2Msg.norm for the measured BN eval-mode pathology)
+    norm: str = "bn"
 
 
 @dataclass(frozen=True)

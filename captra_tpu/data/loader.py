@@ -126,31 +126,52 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
     DataLoader worker processes (network/data/dataset.py:205).
 
     `size` bounds the queue so at most that many batches are resident
-    host-side ahead of the consumer."""
+    host-side ahead of the consumer.  If the consumer abandons the generator
+    (exception in the training step, GeneratorExit), the worker is signalled
+    to stop and unblocked — it does not stay parked in `q.put` pinning
+    buffered batches for the life of the process."""
     import queue
     import threading
 
     q: queue.Queue = queue.Queue(maxsize=size)
     end = object()
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             err.append(e)
         finally:
-            q.put(end)
+            # end marker must not be dropped on a full queue (the consumer
+            # would drain the items then block forever); same stop-aware put
+            while not stop.is_set():
+                try:
+                    q.put(end, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is end:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class Mixture:

@@ -117,27 +117,31 @@ def visualize_scene_images(results_dir: str, img_dir: str, scene: str,
     write a PNG sequence (reference visualize_tracking_nocs.py:36-114).
 
     Expects `results_dir/data/*.pkl` artifacts (tracking.results) whose file
-    names contain the scene id, and NOCS-layout images
-    `img_dir/<scene>/<frame>_color.png` (or `_depth.png`).  Frame alignment
-    uses each pickle's `frame_nums` (falling back to 0..T-1).  As in the
-    reference, frame 0 uses the GT corners (the predicted NPCS corners start
-    at frame 1).
+    names contain the scene id as a full `_`-separated token, and NOCS-layout
+    images `img_dir/<scene>/<frame>_color.png` (or `_depth.png`).  Frame
+    alignment uses each pickle's `frame_nums`; pickles written without them
+    (this repo's cli/track.py saves tracked frames only, no frame 0) fall
+    back to 1..T.  A frame whose predicted corners are missing/non-finite
+    (the reference stores None for frame 0, model.py:482-509) falls back to
+    the GT corners.
     """
     import cv2
+    import re
 
     if intrinsics is None:
-        intrinsics = np.array([[591.0125, 0, 322.525],
-                               [0, 590.16775, 244.11084],
-                               [0, 0, 1.0]])  # NOCS real (nocs_utils.py:20)
+        from captra_tpu.data.preprocess import NOCS_REAL_INTRINSICS
+        intrinsics = np.asarray(NOCS_REAL_INTRINSICS)
     from captra_tpu.pose.bbox import posed_bbox_from_part
     from captra_tpu.pose.part_dof import Pose
     import jax.numpy as jnp
 
     out_dir = out_dir or pjoin(results_dir, "vis", scene)
     data_dir = pjoin(results_dir, "data")
+    # exact token match: "scene_1" must not pull in "scene_10"
+    pat = re.compile(r"(^|_)" + re.escape(scene) + r"(_|$)")
     instances = {}
     for raw in sorted(os.listdir(data_dir)):
-        if raw.endswith(".pkl") and scene in raw:
+        if raw.endswith(".pkl") and pat.search(raw[:-4]):
             with open(pjoin(data_dir, raw), "rb") as f:
                 instances[raw[:-4]] = pickle.load(f)
     if not instances:
@@ -149,7 +153,7 @@ def visualize_scene_images(results_dir: str, img_dir: str, scene: str,
     for ins, data in instances.items():
         T = data["pred"]["poses"]["scale"].shape[0]
         nums = [int(np.ravel(n)[0]) for n in data["frame_nums"]] \
-            if len(data["frame_nums"]) else list(range(T))
+            if len(data["frame_nums"]) else list(range(1, T + 1))
         frame_maps[ins] = {n: i for i, n in enumerate(nums)}
     all_frames = sorted({n for m in frame_maps.values() for n in m})
 
@@ -161,8 +165,12 @@ def visualize_scene_images(results_dir: str, img_dir: str, scene: str,
         if not os.path.exists(image_path):
             continue
         if depth:
-            img = cv2.imread(image_path, -1)
-            img = np.stack([img] * 3, axis=-1).astype(np.uint8)
+            raw16 = cv2.imread(image_path, -1).astype(np.float32)
+            # normalize for display — a straight uint8 cast wraps uint16
+            # depth (mm) mod 256 into banded noise
+            hi = max(float(raw16.max()), 1.0)
+            img = np.stack([(raw16 / hi * 255.0).astype(np.uint8)] * 3,
+                           axis=-1)
         else:
             img = cv2.imread(image_path)[..., ::-1]  # BGR -> RGB
         for ins, data in instances.items():
@@ -171,8 +179,10 @@ def visualize_scene_images(results_dir: str, img_dir: str, scene: str,
             i = frame_maps[ins][frame_num]
             pred_pose = Pose(**{k: jnp.asarray(v[i]) for k, v in
                                 data["pred"]["poses"].items()})
-            corners = data["gt"]["corners"] if i == 0 \
-                else data["pred"]["corners"][i]
+            corners = data["pred"]["corners"][i]
+            if corners is None or not np.isfinite(np.asarray(
+                    corners, dtype=np.float32)).all():
+                corners = data["gt"]["corners"]
             boxes = np.asarray(posed_bbox_from_part(pred_pose,
                                                     jnp.asarray(corners)))
             img = draw_boxes_on_image(img, boxes, intrinsics, color=color)

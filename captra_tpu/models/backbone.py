@@ -27,6 +27,7 @@ class SetAbstractionMsg(nn.Module):
     bn_momentum: float = 0.9
     dtype: jnp.dtype | None = None
     fps_mode: str = "exact"
+    norm: str = "bn"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = False):
@@ -38,7 +39,7 @@ class SetAbstractionMsg(nn.Module):
                 self.cfg.radius_list, self.cfg.nsample_list,
                 self.cfg.mlp_list)):
             g = ops.ball_group(radius, k, xyz, new_xyz, feats)
-            g = PointMLP(mlp, norm="bn", final_acti="relu", last_norm=True,
+            g = PointMLP(mlp, norm=self.norm, final_acti="relu", last_norm=True,
                          bn_momentum=self.bn_momentum, dtype=self.dtype,
                          name=f"scale_{i}")(g, train=train)
             outs.append(jnp.max(g, axis=2))  # [B, S, C]
@@ -51,11 +52,12 @@ class SetAbstractionAll(nn.Module):
     mlp: tuple
     bn_momentum: float = 0.9
     dtype: jnp.dtype | None = None
+    norm: str = "bn"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = False):
         g = xyz if feats is None else jnp.concatenate([xyz, feats], axis=-1)
-        g = PointMLP(self.mlp, norm="bn", final_acti="relu", last_norm=True,
+        g = PointMLP(self.mlp, norm=self.norm, final_acti="relu", last_norm=True,
                      bn_momentum=self.bn_momentum, dtype=self.dtype,
                      name="mlp")(g, train=train)
         new_xyz = jnp.zeros_like(xyz[:, :1])
@@ -68,6 +70,7 @@ class FeaturePropagation(nn.Module):
     mlp: tuple
     bn_momentum: float = 0.9
     dtype: jnp.dtype | None = None
+    norm: str = "bn"
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, train: bool = False):
@@ -82,7 +85,7 @@ class FeaturePropagation(nn.Module):
             interp = ops.three_interp_rows(feats2, idx, weight)
         x = interp if feats1 is None else jnp.concatenate(
             [feats1, interp], axis=-1)
-        return PointMLP(self.mlp, norm="bn", final_acti="relu",
+        return PointMLP(self.mlp, norm=self.norm, final_acti="relu",
                         last_norm=True, bn_momentum=self.bn_momentum,
                         dtype=self.dtype, name="mlp")(x, train=train)
 
@@ -100,6 +103,11 @@ class PointNet2Msg(nn.Module):
     bn_momentum: float = 0.9
     dtype: jnp.dtype | None = None
     fps_mode: str = "exact"
+    # "bn" (reference parity) or "gn": GroupNorm has no train/eval gap —
+    # BN-trained nets exploit per-batch statistics that running averages
+    # cannot reproduce (measured: eval-mode NPCS magnitudes 2-3x shrunk
+    # vs train-mode on synthetic training; see EVIDENCE.md round 2)
+    norm: str = "bn"
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -107,23 +115,27 @@ class PointNet2Msg(nn.Module):
         l0_feats = xyz if self.use_xyz_feat else None
 
         l1_xyz, l1 = SetAbstractionMsg(self.cfg.sa1, self.bn_momentum,
-                                       self.dtype, self.fps_mode,
+                                       self.dtype, self.fps_mode, self.norm,
                                        name="sa1")(l0_xyz, l0_feats, train)
         l2_xyz, l2 = SetAbstractionMsg(self.cfg.sa2, self.bn_momentum,
-                                       self.dtype, self.fps_mode,
+                                       self.dtype, self.fps_mode, self.norm,
                                        name="sa2")(l1_xyz, l1, train)
         l3_xyz, l3 = SetAbstractionAll(self.cfg.sa3_mlp, self.bn_momentum,
-                                       self.dtype, name="sa3")(l2_xyz, l2, train)
+                                       self.dtype, self.norm,
+                                       name="sa3")(l2_xyz, l2, train)
 
         l2 = FeaturePropagation(self.cfg.fp3_mlp, self.bn_momentum,
-                                self.dtype, name="fp3")(l2_xyz, l3_xyz, l2, l3, train)
+                                self.dtype, self.norm,
+                                name="fp3")(l2_xyz, l3_xyz, l2, l3, train)
         l1 = FeaturePropagation(self.cfg.fp2_mlp, self.bn_momentum,
-                                self.dtype, name="fp2")(l1_xyz, l2_xyz, l1, l2, train)
+                                self.dtype, self.norm,
+                                name="fp2")(l1_xyz, l2_xyz, l1, l2, train)
         l0_in = l0_xyz if l0_feats is None else jnp.concatenate(
             [l0_xyz, l0_feats], axis=-1)
         l0 = FeaturePropagation(self.cfg.fp1_mlp, self.bn_momentum,
-                                self.dtype, name="fp1")(l0_xyz, l1_xyz, l0_in, l1, train)
+                                self.dtype, self.norm,
+                                name="fp1")(l0_xyz, l1_xyz, l0_in, l1, train)
 
-        return PointMLP((self.out_dim,), norm="bn", final_acti="relu",
+        return PointMLP((self.out_dim,), norm=self.norm, final_acti="relu",
                         last_norm=True, bn_momentum=self.bn_momentum,
                         dtype=self.dtype, name="out")(l0, train=train)

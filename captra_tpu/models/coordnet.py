@@ -36,6 +36,7 @@ class CoordNet(nn.Module):
         feat = PointNet2Msg(self.cfg.pointnet, net.backbone_out_dim,
                             use_xyz_feat=True, bn_momentum=self.bn_momentum,
                             dtype=dtype, fps_mode=net.fps_mode,
+                            norm=net.norm,
                             name="backbone")(canon_points, train=train)
         seg_logits = PointMLP((self.cfg.obj.num_seg,), norm="none",
                               final_acti="none", dtype=dtype,
@@ -43,7 +44,7 @@ class CoordNet(nn.Module):
         # probabilities and coordinates leave the net in f32
         seg = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
         nocs = PointMLP(tuple(net.nocs_head_dims) + (3 * self.cfg.obj.num_parts,),
-                        norm="bn", final_acti="none",
+                        norm=net.norm, final_acti="none",
                         bn_momentum=self.bn_momentum, dtype=dtype,
                         name="nocs_head")(feat, train)
         nocs = jax.nn.sigmoid(nocs.astype(jnp.float32)) - 0.5

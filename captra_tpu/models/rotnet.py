@@ -75,6 +75,7 @@ class RotNet(nn.Module):
                             self.cfg.network.backbone_out_dim,
                             use_xyz_feat=False, bn_momentum=self.bn_momentum,
                             dtype=dtype, fps_mode=self.cfg.network.fps_mode,
+                            norm=self.cfg.network.norm,
                             name="encoder")(flat, train=train)
         feat = feat.reshape(B, P, N, -1)
         point_rtvec = RotationRegressor(obj.num_parts, obj.sym, dtype=dtype,

@@ -320,6 +320,15 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
+        # a single non-finite forward poisons BN running stats FOREVER
+        # (running = (1-m)*running + m*NaN); keep the previous value for any
+        # non-finite entry — the numeric twin of the zero_nans gradient
+        # guard in make_optimizer (observed: one bf16 spike step left
+        # eval-mode RotationNet outputting the normalize_vector fallback
+        # while train-mode metrics looked healthy)
+        new_stats = jax.tree.map(
+            lambda new, old: jnp.where(jnp.isfinite(new), new, old),
+            new_stats, state.batch_stats)
         new_state = TrainState(params=params, batch_stats=new_stats,
                                opt_state=opt_state, step=state.step + 1)
         loss_dict = dict(loss_dict)

@@ -6,8 +6,14 @@ data preprocessing (/root/reference/network/test.py:77-96, README.md:267:
 480x640 depth frames enter the jitted loop, and backprojection + ball crop +
 FPS + CoordNet + RotationNet + analytic s/t fit all run on device.
 
-Usage: python scripts/bench_otf.py [--batches 1,4,8] [--work-factor 5]
-Prints one line per batch size: fps, ms/frame.
+`measure_otf` is the single implementation of the protocol — bench.py calls
+it for the driver-recorded JSON, and `python scripts/bench_otf.py` is the
+interactive CLI.  fps_mode="grouped" means the full latency-optimized
+configuration: stratified FPS in BOTH the crop (track_cfg/otf_fps_mode) and
+the backbone SA layers (network/fps_mode) — deviations quantified in
+tests/test_approx_parity.py.
+
+Usage: python scripts/bench_otf.py [--batches 1,8] [--fps-mode grouped]
 """
 from __future__ import annotations
 
@@ -21,12 +27,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-os.makedirs(_CACHE, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def make_depth_frames(T: int, B: int, H: int = 480, W: int = 640, seed=0):
@@ -45,16 +45,16 @@ def make_depth_frames(T: int, B: int, H: int = 480, W: int = 640, seed=0):
     return jnp.asarray(depths), jnp.asarray(masks)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", default="1,4,8")
-    ap.add_argument("--work-factor", type=int, default=5)
-    ap.add_argument("--fps-mode", default="exact",
-                    choices=["exact", "grouped"])
-    ap.add_argument("--frames", type=int, default=20)
-    ap.add_argument("--dtype", default="bfloat16")
-    args = ap.parse_args()
+def measure_otf(batches, num_frames: int = 100, fps_mode: str = "exact",
+                work_factor: int = 5, dtype: str | None = None,
+                log=print) -> dict:
+    """Run the OTF protocol for each batch size; returns {B: frames/sec}.
 
+    num_frames defaults to 100 — the reference's own trajectory length
+    (obj_info_sapien.yml num_frames: 100; NOCS real scenes are hundreds of
+    frames, README.md:267 suggests --dataset_length=500).  Short scans
+    would bill the fixed per-invocation dispatch overhead to the per-frame
+    number."""
     from captra_tpu.config import get_config
     from captra_tpu.data.preprocess import (NOCS_REAL_INTRINSICS,
                                             backproject_depth)
@@ -65,11 +65,12 @@ def main():
 
     cfg = get_config("config_track.yml", overrides={
         "obj_config": "obj_info_nocs.yml", "obj_category": "1",
-        "init_frame/gt": True,
-        "nocs_otf": True,
-        "track_cfg/otf_work_factor": args.work_factor,
-        "track_cfg/otf_fps_mode": args.fps_mode,
-        "network/compute_dtype": args.dtype,
+        "init_frame/gt": True, "nocs_otf": True,
+        "track_cfg/otf_fps_mode": fps_mode,
+        "track_cfg/otf_work_factor": work_factor,
+        "network/fps_mode": fps_mode,
+        "network/compute_dtype": dtype or os.environ.get(
+            "CAPTRA_BENCH_DTYPE", "bfloat16"),
     })
     N, P = cfg.num_points, cfg.obj.num_parts
     coord, rotn = CoordNet(cfg), RotNet(cfg)
@@ -83,35 +84,59 @@ def main():
         lambda p, l: rotn.apply(rv, p, l, train=False))
     run = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
 
-    T = args.frames
-    for B in [int(x) for x in args.batches.split(",")]:
-        depths, masks = make_depth_frames(T, B)
-        # init pose centered on the frame-0 blob
-        pts0, _ = backproject_depth(depths[0, 0], NOCS_REAL_INTRINSICS)
-        c0 = np.asarray(pts0).reshape(480, 640, 3)[np.asarray(masks[0, 0])]
-        center = c0.mean(0)
-        init_pose = Pose(
-            rotation=jnp.broadcast_to(jnp.eye(3), (B, P, 3, 3)),
-            translation=jnp.broadcast_to(jnp.asarray(center).reshape(1, 1, 3, 1),
-                                         (B, P, 3, 1)),
-            scale=jnp.full((B, P), 0.3))
-        frames = {"depth": depths, "mask": masks,
-                  "key": jnp.arange(T, dtype=jnp.int32)}
-        t0 = time.time()
-        out = run(init_pose, frames)
-        jax.block_until_ready(out)
-        print(f"# B={B} compile+warm: {time.time() - t0:.1f}s")
-        reps = 5 if B == 1 else 3
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
+    T = num_frames
+    results = {}
+    for B in batches:
+        try:
+            depths, masks = make_depth_frames(T, B)
+            pts0, _ = backproject_depth(depths[0, 0], NOCS_REAL_INTRINSICS)
+            c0 = np.asarray(pts0).reshape(480, 640, 3)[
+                np.asarray(masks[0, 0])].mean(0)
+            init_pose = Pose(
+                rotation=jnp.broadcast_to(jnp.eye(3), (B, P, 3, 3)),
+                translation=jnp.broadcast_to(
+                    jnp.asarray(c0).reshape(1, 1, 3, 1), (B, P, 3, 1)),
+                scale=jnp.full((B, P), 0.3))
+            frames = {"depth": depths, "mask": masks,
+                      "key": jnp.arange(T, dtype=jnp.int32)}
+            t0 = time.time()
             out = run(init_pose, frames)
             jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        fps = (T - 1) * B / best
-        print(f"OTF B={B} wf={args.work_factor} fps_mode={args.fps_mode}: "
-              f"{fps:.1f} frames/s "
-              f"({best / (T - 1) * 1e3:.2f} ms/frame-batch)")
+            log(f"# otf batch={B} fps_mode={fps_mode} "
+                f"compile+warm: {time.time() - t0:.1f}s")
+            best = np.inf
+            for _ in (range(5) if B == 1 else range(3)):
+                t0 = time.perf_counter()
+                out = run(init_pose, frames)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            results[B] = (T - 1) * B / best
+            log(f"# otf batch={B} fps_mode={fps_mode}: "
+                f"{results[B]:.1f} frames/sec/chip "
+                f"({best / (T - 1) * 1e3:.2f} ms/frame-batch)")
+        except Exception as e:  # noqa: BLE001 — report what we can
+            log(f"# otf batch={B} failed: {e}")
+    return results
+
+
+def main():
+    _CACHE = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(_CACHE, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,8")
+    ap.add_argument("--work-factor", type=int, default=5)
+    ap.add_argument("--fps-mode", default="exact",
+                    choices=["exact", "grouped"])
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+    measure_otf([int(b) for b in args.batches.split(",")],
+                num_frames=args.frames, fps_mode=args.fps_mode,
+                work_factor=args.work_factor, dtype=args.dtype)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,10 @@ def main():
     ap.add_argument("--category", type=str, default="1")
     ap.add_argument("--dtype", type=str, default="float32")
     ap.add_argument("--rot_steps", type=int, default=None)
-    ap.add_argument("--grad_clip", type=float, default=0.0)
+    ap.add_argument("--grad_clip", type=float, default=None,
+                    help="override optim grad_clip (None = config value)")
+    ap.add_argument("--norm", default=None, choices=[None, "bn", "gn"],
+                    help="override network/norm (gn: no train/eval BN gap)")
     args = ap.parse_args()
 
     import jax
@@ -56,11 +59,15 @@ def main():
     states = {}
     for net_type, config in (("canon_coord", "config_coordnet.yml"),
                              ("rot", "config_rotnet.yml")):
-        cfg = get_config(config, overrides={
+        overrides = {
             "obj_config": "obj_info_nocs.yml", "obj_category": args.category,
             "batch_size": args.batch,
-            "grad_clip": args.grad_clip,
-            "network/compute_dtype": args.dtype})
+            "network/compute_dtype": args.dtype}
+        if args.grad_clip is not None:
+            overrides["grad_clip"] = args.grad_clip
+        if args.norm is not None:
+            overrides["network/norm"] = args.norm
+        cfg = get_config(config, overrides=overrides)
         trainer = Trainer(cfg, steps_per_epoch=200)
         batch0 = make_frame_batch(0, cfg.obj, batch=args.batch,
                                   num_points=cfg.num_points)
@@ -96,17 +103,27 @@ def main():
         states[net_type] = state
 
     # --- tracking ---------------------------------------------------------
-    cfg = get_config("config_track.yml", overrides={
+    track_overrides = {
         "obj_config": "obj_info_nocs.yml", "obj_category": args.category,
-        "init_frame/gt": True, "network/compute_dtype": args.dtype})
+        "init_frame/gt": True, "network/compute_dtype": args.dtype}
+    if args.norm is not None:
+        track_overrides["network/norm"] = args.norm
+    cfg = get_config("config_track.yml", overrides=track_overrides)
     coord, rotn = CoordNet(cfg), RotNet(cfg)
     cv = {"params": states["canon_coord"].params,
           "batch_stats": states["canon_coord"].batch_stats}
     rv = {"params": states["rot"].params,
           "batch_stats": states["rot"].batch_stats}
-    step = make_track_step(
-        cfg, lambda p: coord.apply(cv, p, train=False),
-        lambda p, l: rotn.apply(rv, p, l, train=False))
+
+    # weights enter the jit as ARGUMENTS (not closure constants): remote
+    # execution layers may cache (program, inputs) pairs, and a
+    # constant-folded program with identical explicit inputs across runs
+    # can be served stale results
+    def track_fn(cv, rv, ip, frames):
+        step = make_track_step(
+            cfg, lambda p: coord.apply(cv, p, train=False),
+            lambda p, l: rotn.apply(rv, p, l, train=False))
+        return track_trajectory(step, ip, frames)
 
     T = 20
     trajs = [make_trajectory(seed=1000 + s, obj=cfg.obj, num_frames=T,
@@ -116,11 +133,11 @@ def main():
     gt = data["pose"]
     init_pose = Pose(rotation=gt.rotation[0], translation=gt.translation[0],
                      scale=gt.scale[0])
-    run = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
-    out = run(init_pose, {"points": data["points"]})
+    run = jax.jit(track_fn)
+    out = run(cv, rv, init_pose, {"points": data["points"]})
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    final, aux = run(init_pose, {"points": data["points"]})
+    final, aux = run(cv, rv, init_pose, {"points": data["points"]})
     jax.block_until_ready(aux.pose.scale)
     dt = time.perf_counter() - t0
     fps = (T - 1) * args.track_trajs / dt
