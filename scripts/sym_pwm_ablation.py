@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--pwm", default="128,384")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--grad_clip", type=float, default=1.0)
+    ap.add_argument("--norm", default="gn", choices=["bn", "gn"])
     ap.add_argument("--category", default="1")  # bottle: sym
     args = ap.parse_args()
 
@@ -47,6 +48,7 @@ def main():
             "batch_size": args.batch,
             "grad_clip": args.grad_clip,
             "network/pwm_num": pwm,
+            "network/norm": args.norm,
             "network/compute_dtype": args.dtype})
         assert cfg.obj.sym, "pwm ablation needs a sym category"
         trainer = Trainer(cfg, steps_per_epoch=200)

@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--track_trajs", type=int, default=8)
     ap.add_argument("--out", type=str, default="runs/flagship_demo")
     ap.add_argument("--category", type=str, default="1")
+    ap.add_argument("--obj_config", type=str, default="obj_info_nocs.yml")
     ap.add_argument("--dtype", type=str, default="float32")
     ap.add_argument("--rot_steps", type=int, default=None)
     ap.add_argument("--grad_clip", type=float, default=None,
@@ -60,7 +61,7 @@ def main():
     for net_type, config in (("canon_coord", "config_coordnet.yml"),
                              ("rot", "config_rotnet.yml")):
         overrides = {
-            "obj_config": "obj_info_nocs.yml", "obj_category": args.category,
+            "obj_config": args.obj_config, "obj_category": args.category,
             "batch_size": args.batch,
             "network/compute_dtype": args.dtype}
         if args.grad_clip is not None:
@@ -104,7 +105,7 @@ def main():
 
     # --- tracking ---------------------------------------------------------
     track_overrides = {
-        "obj_config": "obj_info_nocs.yml", "obj_category": args.category,
+        "obj_config": args.obj_config, "obj_category": args.category,
         "init_frame/gt": True, "network/compute_dtype": args.dtype}
     if args.norm is not None:
         track_overrides["network/norm"] = args.norm

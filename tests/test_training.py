@@ -109,3 +109,54 @@ def test_bn_stats_update(key):
     state, _, _ = trainer.train_step(state, batch, key)
     after = jax.tree.leaves(state.batch_stats)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_optimizer_chain_survives_inf_nan_grads(key):
+    """zero_nans -> elementwise clip -> global-norm clip: inf/NaN gradient
+    spikes must produce finite updates (plain clip_by_global_norm turns an
+    inf grad into NaN params via inf * 0)."""
+    import optax
+    from captra_tpu.training.trainer import make_optimizer
+
+    import dataclasses
+    cfg = tiny_config().replace(
+        optim=dataclasses.replace(tiny_config().optim, grad_clip=1.0))
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"a": jnp.ones((3,)), "b": jnp.ones((2,))}
+    state = tx.init(params)
+    grads = {"a": jnp.array([jnp.inf, -jnp.inf, 1.0]),
+             "b": jnp.array([jnp.nan, 2.0])}
+    updates, _ = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(new)), new
+
+
+def test_train_step_nan_batch_keeps_state_finite(key):
+    """A poisoned batch (NaN points) must not contaminate params OR the BN
+    running stats (one NaN forward used to stick in the stats EMA forever)."""
+    from captra_tpu.config.schema import NetworkCfg, ObjCfg
+    from captra_tpu.data.synthetic import make_frame_batch
+    from captra_tpu.training.trainer import Trainer
+
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,), extra_dims=1)
+    import dataclasses
+    cfg = tiny_config().replace(
+        obj=obj, network=NetworkCfg(type="canon_coord", backbone_out_dim=32,
+                                    nocs_head_dims=(16,)),
+        optim=dataclasses.replace(tiny_config().optim, grad_clip=1.0))
+    trainer = Trainer(cfg, steps_per_epoch=10)
+    batch = make_frame_batch(0, obj, batch=4, num_points=128)
+    state = trainer.init_state(key, batch)
+    state, _, _ = trainer.train_step(state, batch, key)
+
+    bad = dict(batch)
+    bad["points"] = batch["points"].at[0, 0].set(jnp.nan)
+    state2, _, _ = trainer.train_step(state, bad, key)
+    for leaf in jax.tree.leaves(state2.params) + \
+            jax.tree.leaves(state2.batch_stats):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # and training continues normally on the next clean batch
+    state3, loss, _ = trainer.train_step(state2, batch, key)
+    assert np.isfinite(float(loss["total_loss"]))
