@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -29,10 +30,9 @@ import numpy as np
 
 # persistent compile cache: full-size net compiles are minutes through the
 # remote-compile tunnel; cache them across bench runs
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-os.makedirs(_CACHE, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from captra_tpu.utils.cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 BASELINE_FPS = 200.0  # north-star target, BASELINE.json
 

@@ -22,6 +22,16 @@ from captra_tpu.config.schema import (
 DEFAULTS_DIR = pjoin(os.path.dirname(__file__), "defaults")
 
 
+def _choice(value, allowed: tuple, name: str) -> str:
+    """Validate an enum-like config knob at load time — an unknown value
+    would otherwise silently select no-op behavior downstream (e.g. PointMLP
+    applies NO normalization for an unrecognized norm string)."""
+    v = str(value)
+    if v not in allowed:
+        raise ValueError(f"{name} must be one of {allowed}, got {v!r}")
+    return v
+
+
 def overwrite_config(cfg: dict, key_path: list[str], value) -> None:
     """Set a nested key addressed by a '/'-split path (reference
     overwrite_config, config.py:8-18)."""
@@ -123,8 +133,10 @@ def get_config(config: str = "config_track.yml",
         nocs_head_dims=tuplify(net_raw.get("nocs_head_dims", [128])),
         pwm_num=int(net_raw.get("pwm_num", 128)),
         compute_dtype=str(net_raw.get("compute_dtype", "float32")),
-        fps_mode=str(net_raw.get("fps_mode", "exact")),
-        norm=str(net_raw.get("norm", "bn")),
+        fps_mode=_choice(net_raw.get("fps_mode", "exact"),
+                         ("exact", "grouped"), "network/fps_mode"),
+        norm=_choice(net_raw.get("norm", "bn"), ("bn", "gn"),
+                     "network/norm"),
     )
 
     pp = raw.get("pose_perturb", {})
@@ -141,7 +153,9 @@ def get_config(config: str = "config_track.yml",
         init_frame_gt=bool((raw.get("init_frame", {}) or {}).get("gt", False)),
         nocs_otf=bool(raw.get("nocs_otf", False)),
         otf_work_factor=int(tc.get("otf_work_factor", 5)),
-        otf_fps_mode=str(tc.get("otf_fps_mode", "exact")),
+        otf_fps_mode=_choice(tc.get("otf_fps_mode", "exact"),
+                             ("exact", "grouped"),
+                             "track_cfg/otf_fps_mode"),
         scale_clamp=float(tc.get("scale_clamp", 0.0)),
     )
 

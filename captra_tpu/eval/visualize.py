@@ -160,17 +160,25 @@ def visualize_scene_images(results_dir: str, img_dir: str, scene: str,
     suffix = "depth" if depth else "color"
     written = []
     os.makedirs(out_dir, exist_ok=True)
+    depth_hi = None  # sequence-constant display scale (no frame flicker)
     for frame_num in all_frames:
-        image_path = pjoin(img_dir, scene, f"{frame_num}_{suffix}.png")
-        if not os.path.exists(image_path):
+        # NOCS real layout zero-pads frame prefixes to 4 digits
+        # (preproc_nocs.py:167 '0001_color.png'); accept unpadded too
+        for stem in (f"{frame_num:04d}", str(frame_num)):
+            image_path = pjoin(img_dir, scene, f"{stem}_{suffix}.png")
+            if os.path.exists(image_path):
+                break
+        else:
             continue
         if depth:
             raw16 = cv2.imread(image_path, -1).astype(np.float32)
             # normalize for display — a straight uint8 cast wraps uint16
-            # depth (mm) mod 256 into banded noise
-            hi = max(float(raw16.max()), 1.0)
-            img = np.stack([(raw16 / hi * 255.0).astype(np.uint8)] * 3,
-                           axis=-1)
+            # depth (mm) mod 256 into banded noise; scale is fixed from the
+            # first frame so the sequence doesn't flicker
+            if depth_hi is None:
+                depth_hi = max(float(raw16.max()), 1.0)
+            img = np.stack([np.clip(raw16 / depth_hi * 255.0, 0, 255)
+                            .astype(np.uint8)] * 3, axis=-1)
         else:
             img = cv2.imread(image_path)[..., ::-1]  # BGR -> RGB
         for ins, data in instances.items():

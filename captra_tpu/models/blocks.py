@@ -69,5 +69,7 @@ class PointMLP(nn.Module):
                 # statistics in f32 regardless of dtype
                 x = nn.GroupNorm(num_groups=None, group_size=2, epsilon=1e-5,
                                  dtype=self.dtype, name=f"norm_{i}")(x)
+            elif norm != "none":
+                raise ValueError(f"unknown norm {norm!r} (bn|gn|none)")
             x = _activation("relu" if not last else self.final_acti)(x)
         return x

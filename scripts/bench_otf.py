@@ -55,6 +55,8 @@ def measure_otf(batches, num_frames: int = 100, fps_mode: str = "exact",
     frames, README.md:267 suggests --dataset_length=500).  Short scans
     would bill the fixed per-invocation dispatch overhead to the per-frame
     number."""
+    if not batches:
+        return {}
     from captra_tpu.config import get_config
     from captra_tpu.data.preprocess import (NOCS_REAL_INTRINSICS,
                                             backproject_depth)
@@ -120,11 +122,8 @@ def measure_otf(batches, num_frames: int = 100, fps_mode: str = "exact",
 
 
 def main():
-    _CACHE = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    os.makedirs(_CACHE, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from captra_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,8")

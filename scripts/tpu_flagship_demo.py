@@ -137,8 +137,11 @@ def main():
     run = jax.jit(track_fn)
     out = run(cv, rv, init_pose, {"points": data["points"]})
     jax.block_until_ready(out)
+    # the timed dispatch must differ from the warm-up: identical
+    # (program, input) pairs can be served from the tunnel's result cache
+    pts_timed = data["points"] + jnp.float32(1e-9)
     t0 = time.perf_counter()
-    final, aux = run(cv, rv, init_pose, {"points": data["points"]})
+    final, aux = run(cv, rv, init_pose, {"points": pts_timed})
     jax.block_until_ready(aux.pose.scale)
     dt = time.perf_counter() - t0
     fps = (T - 1) * args.track_trajs / dt

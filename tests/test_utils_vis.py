@@ -79,9 +79,10 @@ def test_visualize_scene_images(tmp_path, rng):
     img_dir = tmp_path / "imgs"
     (img_dir / "scene_1").mkdir(parents=True)
     for f in range(4):
-        cv2.imwrite(str(img_dir / "scene_1" / f"{f}_color.png"),
+        # NOCS real layout zero-pads prefixes to 4 digits
+        cv2.imwrite(str(img_dir / "scene_1" / f"{f:04d}_color.png"),
                     np.full((480, 640, 3), 30, np.uint8))
-        cv2.imwrite(str(img_dir / "scene_1" / f"{f}_depth.png"),
+        cv2.imwrite(str(img_dir / "scene_1" / f"{f:04d}_depth.png"),
                     np.full((480, 640), 1000, np.uint16))
 
     written = visualize_scene_images(results, str(img_dir), "scene_1",
@@ -93,6 +94,9 @@ def test_visualize_scene_images(tmp_path, rng):
     depth_written = visualize_scene_images(results, str(img_dir), "scene_1",
                                            depth=True)
     assert len(depth_written) == 4
+
+    # a scene id that is a prefix of another must not match it
+    assert visualize_scene_images(results, str(img_dir), "scene_") == []
 
 
 def test_draw_boxes_on_image(rng):
