@@ -54,6 +54,9 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
     a("--save", action="store_true", default=False)
     a("--no_eval", action="store_true", default=False)
+    a("--mode_name", type=str, default=None,
+      help="dataset split for tracking (real_test / test / test_seq / "
+           "bmvc_<track>; reference parse_args.py --mode_name)")
     a("--init_frame/gt", type=boolean_string, default=None)
 
     for key in ("rloss", "tloss", "sloss", "corner_loss", "nocs_loss",
@@ -81,7 +84,7 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 def config_overrides(args: argparse.Namespace) -> dict:
     """Namespace -> {slash_path: value} (only explicitly set flags)."""
     skip = {"config", "config_dir", "resume_epoch", "save", "no_eval",
-            "num_devices", "synthetic_data"}
+            "num_devices", "synthetic_data", "mode_name"}
     out = {}
     for key, value in vars(args).items():
         if key in skip or value is None or value is False:

@@ -14,8 +14,9 @@ from os.path import join as pjoin
 import jax
 
 from captra_tpu.cli.args import add_args, config_overrides
-from captra_tpu.cli.train import make_dataset, setup_logger
+from captra_tpu.cli.train import setup_logger
 from captra_tpu.config import get_config
+from captra_tpu.data.factory import make_dataset
 from captra_tpu.data.loader import prefetch, single_frame_batches
 from captra_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
 from captra_tpu.training import checkpoint as ckpt
@@ -44,6 +45,14 @@ def main(argv=None):
     syn_ds = make_dataset(cfg, "train")
     real_len = max(1, len(real_ds) // cfg.batch_size)
     syn_per_epoch = real_len * args.syn_n
+    # per-epoch eval on real_test, downsampled for speed (reference
+    # train_nocs_finetune.py:96-107 test_all with --downsample)
+    test_ds = None
+    try:
+        test_ds = make_dataset(cfg, "real_test",
+                               downsampling=args.downsample)
+    except Exception as e:  # no test split on disk
+        logger.info("no real_test split (%s); skipping per-epoch eval", e)
 
     trainer = Trainer(cfg, steps_per_epoch=real_len + syn_per_epoch)
     key = jax.random.PRNGKey(0)
@@ -84,8 +93,12 @@ def main(argv=None):
                 ("Real_Train", single_frame_batches(real_ds, cfg.batch_size,
                                                     seed=epoch))]:
             sums, count = {}, 0
+            # per-(epoch, phase) key stream -> bit-deterministic resume
+            # (see cli/train.py run_epoch)
+            ekey = jax.random.fold_in(jax.random.fold_in(key, epoch),
+                                      0 if tag == "Syn_Train" else 1)
             for batch in prefetch(batches):
-                key, sub = jax.random.split(key)
+                ekey, sub = jax.random.split(ekey)
                 state, loss_dict, metrics = trainer.train_step(
                     state, shard_batch(batch, mesh), sub)
                 for k, v in {**loss_dict, **metrics}.items():
@@ -94,7 +107,23 @@ def main(argv=None):
             for k in sorted(sums):
                 logger.info("%s epoch %d %s is %.6f", tag, epoch, k,
                             sums[k] / max(count, 1))
-        ckpt.save_checkpoint(ckpt_dir, epoch, state)
+        if ((epoch + 1) % cfg.save_freq == 0
+                or epoch == cfg.optim.total_epoch - 1):
+            ckpt.save_checkpoint(ckpt_dir, epoch, state)
+        if test_ds is not None:
+            sums, count = {}, 0
+            ekey = jax.random.fold_in(jax.random.fold_in(key, epoch), 2)
+            for batch in prefetch(single_frame_batches(
+                    test_ds, cfg.batch_size, shuffle=False)):
+                ekey, sub = jax.random.split(ekey)
+                loss_dict, metrics = trainer.eval_step(
+                    state, shard_batch(batch, mesh), sub)
+                for k, v in {**loss_dict, **metrics}.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                count += 1
+            for k in sorted(sums):
+                logger.info("Test epoch %d %s is %.6f", epoch, k,
+                            sums[k] / max(count, 1))
     return state
 
 

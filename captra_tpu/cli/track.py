@@ -23,7 +23,8 @@ from captra_tpu.tracking.results import (
     corners_from_track_aux, save_track_result,
 )
 from captra_tpu.tracking.tracker import (
-    evaluate_track, init_pose_from_gt, make_track_step, track_trajectory,
+    evaluate_track, init_pose_from_cloud, init_pose_from_gt,
+    make_track_step, track_trajectory,
 )
 from captra_tpu.training import checkpoint as ckpt
 
@@ -79,67 +80,93 @@ def _pad_frames(frames: dict, T: int, Tb: int) -> dict:
 
 def track_sequences(cfg, step, sequences, save: bool = False,
                     no_eval: bool = False, seed: int = 0):
-    """sequences: iterator of (name, batch) with leading [T, 1, ...]."""
+    """sequences: iterator of (name | names-tuple, batch) with leading
+    [T, B, ...] — B trajectories track in parallel through one scan
+    (reference DataLoader batching over SequenceData, dataset.py:197-205;
+    scripts/track/sapien/laptop.sh --batch_size=6).  Per-trajectory metrics
+    and result pickles still come out per trajectory."""
     run = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
     key = jax.random.PRNGKey(seed)
     all_avgs, total_frames, total_time = {}, 0, 0.0
-    warmed: set[int] = set()
+    warmed: set[tuple] = set()
     for name, batch in sequences:
-        gt = batch["pose"]
+        names = (name,) if isinstance(name, str) else tuple(name)
+        gt = batch.get("pose")
         key, sub = jax.random.split(key)
-        init_pose = init_pose_from_gt(
-            sub, gt[0], cfg,
-            crop_translation=batch.get("crop_translation", [None])[0],
-            crop_scale=batch.get("crop_scale", [None])[0])
+        if gt is not None:
+            init_pose = init_pose_from_gt(
+                sub, gt[0], cfg,
+                crop_translation=batch.get("crop_translation", [None])[0],
+                crop_scale=batch.get("crop_scale", [None])[0])
+        else:
+            # GT-less real capture: derive frame 0 from the cloud itself
+            init_pose = init_pose_from_cloud(batch["points"][0],
+                                             cfg.obj.num_parts,
+                                             cfg.data_radius)
         if cfg.track.nocs_otf and "depth" in batch:
             T = batch["depth"].shape[0]
             frames = {"depth": batch["depth"], "mask": batch["mask"],
                       "key": jnp.arange(T, dtype=jnp.int32)}
+            if cfg.track.nocs2d_label and "det_masks" in batch:
+                # mask-free tracking: ship the per-frame detection results
+                # into the scan (selection happens in-graph,
+                # tracking/tracker.py)
+                for k in ("det_masks", "det_boxes", "det_valid"):
+                    frames[k] = batch[k]
         else:
             T = batch["points"].shape[0]
             frames = {"points": batch["points"]}
             if cfg.track.gt_label:
                 frames["labels"] = batch["labels"]
+        B = len(names)
         Tb = _bucket_length(T)
         frames = _pad_frames(frames, T, Tb)
-        if Tb not in warmed:
-            # one untimed warm-up per bucket length: compile time must not
-            # pollute the reported fps (reference times pure loop iterations,
-            # network/test.py:77-94)
+        if (Tb, B) not in warmed:
+            # one untimed warm-up per (bucket length, batch) shape: compile
+            # time must not pollute the reported fps (reference times pure
+            # loop iterations, network/test.py:77-94)
             out = run(init_pose, frames)
             jax.block_until_ready(out[1].pose.scale)
-            warmed.add(Tb)
+            warmed.add((Tb, B))
         t0 = time.perf_counter()
         final, aux = run(init_pose, frames)
         jax.block_until_ready(aux.pose.scale)
         dt = time.perf_counter() - t0
         aux = jax.tree.map(lambda x: x[:T - 1], aux)
-        total_frames += T - 1
+        total_frames += (T - 1) * B
         eff = dt * (T - 1) / (Tb - 1)  # padded steps are not frames
         total_time += eff
-        print(f"{name}: {T - 1} frames in {eff:.3f}s "
-              f"({(Tb - 1) / dt:.1f} fps, bucket {Tb})")
+        print(f"{'|'.join(names)}: {T - 1} frames x {B} in {eff:.3f}s "
+              f"({(Tb - 1) * B / dt:.1f} fps, bucket {Tb})")
 
-        if not no_eval:
+        can_eval = gt is not None and not no_eval
+        if can_eval:
             gt_rest = gt.map(lambda x: x[1:])
             errs = evaluate_track(aux.pose, gt_rest, sym=cfg.obj.sym)
-            avg = {k: float(jnp.mean(v)) for k, v in errs.items()}
-            for k, v in avg.items():
-                all_avgs.setdefault(k, []).append(v)
-            print("  " + "  ".join(f"{k}={v:.4f}" for k, v in avg.items()))
+            for b, nm in enumerate(names):
+                avg = {k: float(jnp.mean(v[:, b]))
+                       for k, v in errs.items()}
+                for k, v in avg.items():
+                    all_avgs.setdefault(k, []).append(v)
+                print(f"  {nm}: " + "  ".join(
+                    f"{k}={v:.4f}" for k, v in avg.items()))
 
         if save:
-            pred_poses = aux.pose.map(lambda x: x[:, 0])
-            gt_poses = gt.map(lambda x: x[1:, 0])
-            pred_corners = corners_from_track_aux(aux, cfg.obj.num_parts)
-            gt_corners = np.asarray(batch["corners"][0, 0])
-            save_track_result(pjoin(cfg.experiment_dir, "results"),
-                              name.replace("/", "_"), pred_poses, gt_poses,
-                              pred_corners, gt_corners,
-                              # tracked frames are 1..T-1 (frame 0's pose is
-                              # the given init) — recorded so the scene
-                              # visualizer aligns boxes to image frames
-                              frame_nums=[[t] for t in range(1, T)])
+            pred_corners_all = corners_from_track_aux(aux, cfg.obj.num_parts)
+            for b, nm in enumerate(names):
+                pred_poses = aux.pose.map(lambda x: x[:, b])
+                gt_poses = None if gt is None else \
+                    gt.map(lambda x: x[1:, b])
+                gt_corners = np.asarray(batch["corners"][0, b]) \
+                    if "corners" in batch else None
+                save_track_result(
+                    pjoin(cfg.experiment_dir, "results"),
+                    nm.replace("/", "_"), pred_poses, gt_poses,
+                    pred_corners_all[:, b], gt_corners,
+                    # tracked frames are 1..T-1 (frame 0's pose is the
+                    # given init) — recorded so the scene visualizer
+                    # aligns boxes to image frames
+                    frame_nums=[[t] for t in range(1, T)])
     if total_time > 0:
         print(f"TOTAL: {total_frames} frames, "
               f"{total_frames / total_time:.1f} fps")
@@ -150,12 +177,17 @@ def track_sequences(cfg, step, sequences, save: bool = False,
 
 
 def synthetic_sequences(cfg, count: int = 4, num_frames: int = 20):
+    """Generated trajectories, batched `cfg.batch_size` per scan like the
+    real data path."""
     from captra_tpu.data.synthetic import batch_trajectories, make_trajectory
-    for s in range(count):
-        tr = make_trajectory(seed=s, obj=cfg.obj, num_frames=num_frames,
-                             num_points=cfg.num_points)
-        batch = batch_trajectories([tr])
-        yield f"synthetic/{s:04d}", batch
+    B = max(1, min(cfg.batch_size, count))
+    for start in range(0, count, B):
+        seeds = range(start, min(start + B, count))
+        trs = [make_trajectory(seed=s, obj=cfg.obj, num_frames=num_frames,
+                               num_points=cfg.num_points) for s in seeds]
+        names = tuple(f"synthetic/{s:04d}" for s in seeds)
+        yield (names[0] if len(names) == 1 else names), \
+            batch_trajectories(trs)
 
 
 def main(argv=None):
@@ -171,11 +203,18 @@ def main(argv=None):
     if args.synthetic_data:
         sequences = synthetic_sequences(cfg)
     else:
-        from captra_tpu.cli.train import make_dataset
+        from captra_tpu.data.factory import default_track_mode, make_dataset
         from captra_tpu.data.loader import sequence_batches
-        ds = make_dataset(cfg, "real_test" if cfg.obj.nocs_data else "test")
-        num_frames = None if cfg.obj.nocs_data else cfg.obj.num_frames
-        sequences = sequence_batches(ds, num_frames)
+        mode = args.mode_name or default_track_mode(cfg)
+        ds = make_dataset(cfg, mode)
+        # whole variable-length tracks for real/bmvc/NOCS scenes; fixed
+        # num_frames chunks for synthetic SAPIEN (reference SequenceData,
+        # dataset.py:138-151)
+        chunked = not (cfg.obj.nocs_data or "bmvc" in mode
+                       or mode == "real_test")
+        num_frames = cfg.obj.num_frames if chunked else None
+        sequences = sequence_batches(ds, num_frames,
+                                     batch_size=cfg.batch_size)
 
     track_sequences(cfg, step, sequences, save=args.save,
                     no_eval=args.no_eval)

@@ -20,6 +20,9 @@ import jax
 
 from captra_tpu.cli.args import add_args, config_overrides
 from captra_tpu.config import get_config
+# backend selection lives in the data layer (reference
+# network/data/dataset.py:43-63); re-exported here for compatibility
+from captra_tpu.data.factory import make_dataset  # noqa: F401
 from captra_tpu.data.loader import prefetch, single_frame_batches
 from captra_tpu.data.synthetic import make_frame_batch
 from captra_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
@@ -41,18 +44,6 @@ def setup_logger(experiment_dir: str, name: str):
     return logger
 
 
-def make_dataset(cfg, mode: str):
-    if cfg.obj.nocs_data:
-        from captra_tpu.data.nocs import NOCSDataset
-        return NOCSDataset(cfg.obj.basepath, cfg.obj.category, cfg.obj,
-                           num_points=cfg.num_points, mode=mode,
-                           radius=cfg.data_radius,
-                           perturb=cfg.perturb,
-                           truncate_length=cfg.dataset_length)
-    from captra_tpu.data.sapien import SAPIENDataset
-    return SAPIENDataset(cfg.obj.basepath, cfg.obj.category, cfg.obj,
-                         num_points=cfg.num_points, mode=mode,
-                         truncate_length=cfg.dataset_length)
 
 
 def synthetic_epoch(cfg, epoch: int, steps: int = 50):
@@ -112,12 +103,18 @@ def main(argv=None):
             logger.info("no test split (%s); skipping per-epoch eval", e)
 
     def run_epoch(batches, train: bool, tag: str, epoch: int):
-        nonlocal state, key
+        nonlocal state
         sums, count = {}, 0
+        # per-epoch key stream derived from (epoch, phase), NOT threaded
+        # across the run: a resumed run replays the exact key sequence of an
+        # uninterrupted one, so resume is bit-deterministic
+        # (tests/test_checkpoint.py::test_resume_mid_recipe)
+        ekey = jax.random.fold_in(jax.random.fold_in(key, epoch),
+                                  0 if train else 1)
         # background-thread double buffering: collation/disk reads overlap
         # device compute (reference DataLoader workers, dataset.py:205)
         for batch in prefetch(batches):
-            key, sub = jax.random.split(key)
+            ekey, sub = jax.random.split(ekey)
             if train:
                 state, loss_dict, metrics = trainer.train_step(
                     state, shard_batch(batch, mesh), sub)
@@ -143,7 +140,11 @@ def main(argv=None):
         count = run_epoch(batches, train=True, tag="Train", epoch=epoch)
         logger.info("epoch %d: %d steps in %.1fs", epoch, count,
                     time.time() - t0)
-        ckpt.save_checkpoint(ckpt_dir, epoch, state)
+        # save every `freq/save` epochs (reference train.py:94-95), plus
+        # always the final epoch so tracking/resume have a checkpoint
+        if ((epoch + 1) % cfg.save_freq == 0
+                or epoch == cfg.optim.total_epoch - 1):
+            ckpt.save_checkpoint(ckpt_dir, epoch, state)
         # per-epoch test evaluation (reference train.py:91-98 test_all)
         if test_ds is not None:
             run_epoch(single_frame_batches(test_ds, cfg.batch_size,

@@ -81,7 +81,6 @@ def load_obj_config(obj_yaml: str, category: str,
         nocs_data=bool(raw.get("nocs_data", False)),
         bad_ins=tuplify(entry.get("bad_ins", []) or []),
         test_list=tuplify(entry.get("test_list", []) or []),
-        train_list=tuplify(entry.get("train_list", []) or []),
         basepath=raw.get("basepath", ""),
     )
 
@@ -183,6 +182,7 @@ def get_config(config: str = "config_track.yml",
         track=track, optim=optim,
         num_points=int(raw.get("num_points", 4096)),
         data_radius=float(raw.get("data_radius", 0.6)),
+        save_freq=int((raw.get("freq") or {}).get("save", 1)),
         experiment_dir=str(raw.get("experiment_dir", "runs/exp_tmp")),
         coord_exp_dir=str(coord_exp.get("dir") or ""),
         coord_resume_epoch=int(coord_exp.get("resume_epoch", -1) or -1),

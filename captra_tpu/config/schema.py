@@ -60,8 +60,11 @@ class ObjCfg:
     synthetic: bool = True
     nocs_data: bool = False
     bad_ins: tuple[str, ...] = ()
+    # train split = complement of test_list (the reference's `train_list:`
+    # YAML key is always empty and never read — split_dataset derives
+    # train_ins by exclusion, data_utils.py:28-40; no train_list field here
+    # so split selection cannot silently diverge from that rule)
     test_list: tuple[str, ...] = ()
-    train_list: tuple[str, ...] = ()
     basepath: str = ""
 
     @property
@@ -157,6 +160,9 @@ class Config:
     optim: OptimCfg = OptimCfg()
     num_points: int = 4096
     data_radius: float = 0.6
+    # checkpoint every `save_freq` epochs (reference `freq: save:` key,
+    # network/train.py:94-95 `(epoch + 1) % cfg['freq']['save'] == 0`)
+    save_freq: int = 1
     experiment_dir: str = "runs/exp_tmp"
     coord_exp_dir: str = ""
     coord_resume_epoch: int = -1

@@ -38,37 +38,60 @@ def _pose_from_meta(pose_meta) -> dict:
 def collate_frames(items: Sequence[dict], shuffle_points: bool = False,
                    rng=None) -> dict:
     """List of dataset items -> batched device arrays
-    {points, labels, nocs, pose: Pose [B, P], corners [B, P, 2, 3]}.
+    {points[, labels, nocs], pose: Pose [B, P], corners [B, P, 2, 3]}.
+
+    labels/nocs/pose/corners are emitted only when every item carries them:
+    GT-less real captures (reference real_arti_dataset.py:33-120 without
+    annotation JSONs) serve bare {points} frames and still collate.
 
     shuffle_points permutes each frame's point order (reference `shuffle`
     transform, data_transforms.py:3-10) — also what makes the bucketed ball
     grouping's one-per-bucket pick a uniform subsample."""
     points = np.stack([it["data"]["points"] for it in items])
-    labels = np.stack([it["data"]["labels"] for it in items])
-    nocs = np.stack([it["data"]["nocs"] for it in items])
+    has = {k: all(k in it["data"] for it in items)
+           for k in ("labels", "nocs")}
+    labels = np.stack([it["data"]["labels"] for it in items]) \
+        if has["labels"] else None
+    nocs = np.stack([it["data"]["nocs"] for it in items]) \
+        if has["nocs"] else None
     if shuffle_points:
         rng = rng or np.random
         for b in range(points.shape[0]):
             perm = rng.permutation(points.shape[1])
             points[b] = points[b, perm]
-            labels[b] = labels[b, perm]
-            nocs[b] = nocs[b, perm]
-    poses = [_pose_from_meta(it["meta"]["pose"]) for it in items]
-    pose = Pose(
-        rotation=jnp.asarray(np.stack([p["rotation"] for p in poses])),
-        translation=jnp.asarray(np.stack([p["translation"] for p in poses])),
-        scale=jnp.asarray(np.stack([p["scale"] for p in poses])),
-    )
-    corners = np.stack([np.asarray(it["meta"]["nocs_corners"], np.float32)
-                        .reshape(-1, 2, 3) for it in items])
-    out = {"points": jnp.asarray(points), "labels": jnp.asarray(labels),
-           "nocs": jnp.asarray(nocs), "pose": pose,
-           "corners": jnp.asarray(corners)}
+            if labels is not None:
+                labels[b] = labels[b, perm]
+            if nocs is not None:
+                nocs[b] = nocs[b, perm]
+    out = {"points": jnp.asarray(points)}
+    if labels is not None:
+        out["labels"] = jnp.asarray(labels)
+    if nocs is not None:
+        out["nocs"] = jnp.asarray(nocs)
+    if all("pose" in it["meta"] for it in items):
+        poses = [_pose_from_meta(it["meta"]["pose"]) for it in items]
+        out["pose"] = Pose(
+            rotation=jnp.asarray(np.stack([p["rotation"] for p in poses])),
+            translation=jnp.asarray(
+                np.stack([p["translation"] for p in poses])),
+            scale=jnp.asarray(np.stack([p["scale"] for p in poses])),
+        )
+    if all("nocs_corners" in it["meta"] for it in items):
+        corners = np.stack(
+            [np.asarray(it["meta"]["nocs_corners"], np.float32)
+             .reshape(-1, 2, 3) for it in items])
+        out["corners"] = jnp.asarray(corners)
     if all("pre_fetched" in it["meta"] for it in items):
         out["depth"] = jnp.asarray(np.stack(
             [it["meta"]["pre_fetched"]["depth"] for it in items]))
         out["mask"] = jnp.asarray(np.stack(
             [it["meta"]["pre_fetched"]["mask"] for it in items]))
+        # NOCS-2D detection results for mask-free tracking (reference
+        # nocs_data_process.py:206-229): fixed-K arrays selected in-graph
+        if all("det_masks" in it["meta"]["pre_fetched"] for it in items):
+            for k in ("det_masks", "det_boxes", "det_valid"):
+                out[k] = jnp.asarray(np.stack(
+                    [it["meta"]["pre_fetched"][k] for it in items]))
     if all("crop_pose" in it["meta"] for it in items):
         # perturbed crop center/scale that replaces the init pose's t/s for
         # NOCS training (reference prepare_poses, model.py:49-58)
@@ -100,23 +123,39 @@ def single_frame_batches(dataset, batch_size: int, shuffle: bool = True,
                              shuffle_points=shuffle_points, rng=rng)
 
 
-def sequence_batches(dataset, num_frames: int | None = None
-                     ) -> Iterator[tuple[str, dict]]:
-    """Per-track trajectory batches with leading time axis [T, 1, ...]
-    (reference SequenceData, dataset.py:135-194).  SAPIEN tracks are fixed
-    `num_frames` chunks; NOCS real scenes are whole variable-length tracks.
+def sequence_batches(dataset, num_frames: int | None = None,
+                     batch_size: int = 1
+                     ) -> Iterator[tuple[str | tuple[str, ...], dict]]:
+    """Trajectory batches with leading time axis [T, B, ...] (reference
+    SequenceData + DataLoader batching, dataset.py:135-205;
+    scripts/track/sapien/laptop.sh tracks --batch_size=6).
+
+    SAPIEN tracks are fixed `num_frames` chunks (equal T, so any batch size
+    groups); NOCS real scenes are whole variable-length tracks — only
+    equal-length scenes share a batch, the rest fall through at smaller B.
+    Yields (name, batch) with a plain-string name when B == 1 (compat), a
+    tuple of per-trajectory names otherwise.
     """
     tracks = dataset.track_index()
+    chunks: list[tuple[str, list[int]]] = []
     for name, idxs in tracks.items():
-        chunks = ([idxs] if num_frames is None else
-                  [idxs[i:i + num_frames]
-                   for i in range(0, len(idxs) - num_frames + 1, num_frames)])
-        for ci, chunk in enumerate(chunks):
-            frames = [dataset[int(i)] for i in chunk]
-            batch = collate_frames(frames)
-            # leading time axis, batch 1
-            batch = jax.tree.map(lambda x: x[:, None], batch)
-            yield f"{name}/{ci}", batch
+        cs = ([idxs] if num_frames is None else
+              [idxs[i:i + num_frames]
+               for i in range(0, len(idxs) - num_frames + 1, num_frames)])
+        chunks += [(f"{name}/{ci}", c) for ci, c in enumerate(cs)]
+
+    # group same-length chunks (in order) into batches of up to batch_size
+    by_len: dict[int, list[tuple[str, list[int]]]] = {}
+    for item in chunks:
+        by_len.setdefault(len(item[1]), []).append(item)
+    for T, group in by_len.items():
+        for start in range(0, len(group), max(batch_size, 1)):
+            part = group[start:start + max(batch_size, 1)]
+            cols = [collate_frames([dataset[int(i)] for i in chunk])
+                    for _, chunk in part]                  # each [T, ...]
+            batch = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *cols)
+            names = tuple(n for n, _ in part)
+            yield (names[0] if len(names) == 1 else names), batch
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:

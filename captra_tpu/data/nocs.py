@@ -104,7 +104,8 @@ class NOCSDataset:
                  num_expr: str = "exp", num_points: int = 4096,
                  mode: str = "train", truncate_length: int | None = None,
                  radius: float = 0.6, perturb: PerturbCfg | None = None,
-                 downsampling: int | None = None, seed: int = 0):
+                 downsampling: int | None = None, seed: int = 0,
+                 nocs2d_path: str | None = None, max_dets: int = 16):
         self.root_dset = root_dset
         self.obj_category = obj_category
         self.obj_cfg = obj_cfg
@@ -113,6 +114,12 @@ class NOCSDataset:
         self.radius = radius
         self.perturb = perturb
         self.rng = np.random.RandomState(seed)
+        # mask-free tracking: per-frame NOCS-2D detection results pre-fetched
+        # alongside depth/mask (reference loads them per frame on the CPU
+        # inside the tracking loop, nocs_data_process.py:206-229; here they
+        # become fixed-K device arrays selected in-graph)
+        self.nocs2d_path = nocs2d_path or None
+        self.max_dets = max_dets
         self.file_list = self._collect(num_expr, truncate_length,
                                        downsampling)
         self.nocs_corner_cache: dict[str, np.ndarray] = {}
@@ -195,9 +202,37 @@ class NOCSDataset:
                         break
             mask_img = cv2.imread(depth_path.replace("depth", "mask"))
             mask = mask_img[:, :, 2] == inst_num
-            return {"depth": depth.astype(np.int32), "mask": mask}
+            pre = {"depth": depth.astype(np.int32), "mask": mask}
+            if self.nocs2d_path:
+                pre.update(self._pre_fetch_dets(depth_path, depth.shape))
+            return pre
         except Exception:
             return None
+
+    def _pre_fetch_dets(self, depth_path: str, image_hw) -> dict:
+        """Fixed-K detection arrays for in-graph NOCS-2D mask selection:
+        det_masks [K, H, W] bool, det_boxes [K, 4] (y1,x1,y2,x2) float32,
+        det_valid [K] bool (same-class & present — reference
+        `pred_class_ids == int(category)`, nocs_data_process.py:215-217).
+        Missing result pickles yield all-invalid frames (the tracker then
+        keeps the prior mask, matching the reference's fallthrough)."""
+        from captra_tpu.data.nocs2d import load_nocs2d_result
+        K = self.max_dets
+        H, W = image_hw
+        masks = np.zeros((K, H, W), bool)
+        boxes = np.zeros((K, 4), np.float32)
+        valid = np.zeros((K,), bool)
+        result = load_nocs2d_result(self.nocs2d_path, depth_path)
+        if result is not None:
+            cls = np.asarray(result["pred_class_ids"])
+            n = min(len(cls), K)
+            pm = np.asarray(result["pred_masks"])
+            boxes[:n] = np.asarray(result["pred_bboxes"],
+                                   np.float32)[:n]
+            masks[:n] = np.moveaxis(pm, -1, 0)[:n].astype(bool)
+            valid[:n] = cls[:n] == int(self.obj_category)
+        return {"det_masks": masks, "det_boxes": boxes,
+                "det_valid": valid}
 
     def track_index(self) -> dict[str, list[int]]:
         """Group frame indices by (instance, track) in order — the sequence

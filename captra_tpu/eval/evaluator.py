@@ -141,6 +141,10 @@ def evaluate_results_dir(results_dir: str, obj: ObjCfg,
             data = pickle.load(f)
         pred = data["pred"]
         gt = data["gt"]
+        if gt is None:
+            # GT-less real-capture artifact (tracking.results with
+            # gt_poses=None): nothing to score
+            continue
         pred_poses = Pose(**{k: jnp.asarray(v)
                              for k, v in pred["poses"].items()})
         gt_poses = Pose(**{k: jnp.asarray(v) for k, v in gt["poses"].items()})

@@ -152,8 +152,11 @@ def visualize_scene_images(results_dir: str, img_dir: str, scene: str,
     frame_maps = {}
     for ins, data in instances.items():
         T = data["pred"]["poses"]["scale"].shape[0]
-        nums = [int(np.ravel(n)[0]) for n in data["frame_nums"]] \
-            if len(data["frame_nums"]) else list(range(1, T + 1))
+        # .get: pickles from other writers (reference-format artifacts) may
+        # lack the key entirely — both absent and empty fall back to 1..T
+        nums_raw = data.get("frame_nums", [])
+        nums = [int(np.ravel(n)[0]) for n in nums_raw] \
+            if len(nums_raw) else list(range(1, T + 1))
         frame_maps[ins] = {n: i for i, n in enumerate(nums)}
     all_frames = sorted({n for m in frame_maps.values() for n in m})
 

@@ -53,6 +53,12 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     if mode == "grouped":
         B, N, _ = xyz.shape
         G = 8
+        if npoint < 2 * G:
+            # with <2 picks per stratum every stratum returns only its
+            # deterministic start (local index 0) — the "sample" would be
+            # global points 0..G-1 regardless of geometry; exact FPS at
+            # this npoint is cheap anyway
+            return farthest_point_sample(xyz, npoint, use_pallas=use_pallas)
         idx = farthest_point_sample(
             jnp.moveaxis(xyz.reshape(B, N // G, G, 3), 2, 1)
             .reshape(B * G, N // G, 3),
@@ -92,6 +98,11 @@ def farthest_point_sample_grouped_t(xyz_t: jnp.ndarray, npoint: int,
     if N % groups or npoint % groups:
         raise ValueError(f"N={N} and npoint={npoint} must divide groups="
                          f"{groups}")
+    if npoint < 2 * groups:
+        # degenerate stratification (1 pick/stratum = the deterministic
+        # start): exact FPS instead — see farthest_point_sample
+        return farthest_point_sample(jnp.swapaxes(xyz_t, -1, -2), npoint,
+                                     use_pallas=use_pallas)
     Ng = N // groups
     xg = xyz_t.reshape(B, 3, Ng, groups)
     xg = jnp.moveaxis(xg, -1, 1).reshape(B * groups, 3, Ng)

@@ -48,9 +48,15 @@ def hybrid_data_parallel_mesh(dcn: int | None = None, ici: int | None = None,
     devs = list(devices) if devices is not None else jax.devices()
     if dcn is None:
         dcn = max(getattr(jax, "process_count", lambda: 1)(), 1)
+    if dcn > len(devs) or len(devs) % dcn:
+        raise ValueError(
+            f"dcn={dcn} must divide the device count ({len(devs)}); "
+            "a (dcn, ici) mesh cannot silently drop devices")
     if ici is None:
         ici = len(devs) // dcn
-    devs = devs[:dcn * ici]
+    if dcn * ici != len(devs):
+        raise ValueError(
+            f"dcn*ici = {dcn}*{ici} != device count {len(devs)}")
     return Mesh(np.asarray(devs).reshape(dcn, ici), (DCN_AXIS, ICI_AXIS))
 
 

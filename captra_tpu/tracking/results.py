@@ -24,8 +24,8 @@ def pose_to_numpy(pose: Pose) -> dict:
 
 def corners_from_track_aux(aux, num_parts: int) -> np.ndarray:
     """Per-frame predicted NPCS corners from the tracked seg + nocs
-    (reference model.py:483-493).  aux: TrackAux stacked [T, B, ...] with
-    B == 1; returns [T, P, 2, 3]."""
+    (reference model.py:483-493).  aux: TrackAux stacked [T, B, ...];
+    returns [T, B, P, 2, 3] (index [:, b] for one trajectory)."""
     import jax
     import jax.numpy as jnp
 
@@ -38,22 +38,24 @@ def corners_from_track_aux(aux, num_parts: int) -> np.ndarray:
         return pred_nocs_corners(labels, own, num_parts)
 
     corners = jax.vmap(per_frame)(aux.pred_labels, aux.nocs)  # [T, B, P,2,3]
-    return np.asarray(corners[:, 0])
+    return np.asarray(corners)
 
 
 def save_track_result(out_dir: str, name: str, pred_poses: Pose,
-                      gt_poses: Pose, pred_corners: np.ndarray,
-                      gt_corners: np.ndarray,
+                      gt_poses: Pose | None, pred_corners: np.ndarray,
+                      gt_corners: np.ndarray | None,
                       frame_nums: list | None = None) -> str:
     """Write results/data/<name>.pkl.  Pose leading dims [T, P];
-    corners [T, P, 2, 3] / [P, 2, 3]."""
+    corners [T, P, 2, 3] / [P, 2, 3].  gt may be None (GT-less real
+    captures): the artifact then carries predictions only."""
     data_dir = pjoin(out_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     payload = {
         "pred": {"poses": pose_to_numpy(pred_poses),
                  "corners": np.asarray(pred_corners)},
-        "gt": {"poses": pose_to_numpy(gt_poses),
-               "corners": np.asarray(gt_corners)},
+        "gt": (None if gt_poses is None else
+               {"poses": pose_to_numpy(gt_poses),
+                "corners": np.asarray(gt_corners)}),
         "frame_nums": frame_nums or [],
     }
     path = pjoin(data_dir, f"{name}.pkl")

@@ -61,6 +61,26 @@ def init_pose_from_gt(key: jax.Array, gt_pose: Pose, cfg: Config,
     return pose
 
 
+def init_pose_from_cloud(points: jnp.ndarray, num_parts: int,
+                         data_radius: float = 0.6) -> Pose:
+    """Frame-0 init for GT-less real captures (a capability the reference
+    lacks: EvalTrackModel requires gt_part at frame 0, model.py:390-400 —
+    its real-capture path always has the annotation JSONs).  Identity
+    rotation, center = cloud mean, scale chosen so the crop ball
+    (data_radius * scale) covers the observed cloud; all parts share it.
+
+    points: [B, N, 3] camera cloud of the first frame."""
+    B = points.shape[0]
+    center = jnp.mean(points, axis=1)                       # [B, 3]
+    r = jnp.max(jnp.linalg.norm(points - center[:, None], axis=-1), axis=1)
+    scale = r / jnp.asarray(data_radius)
+    return Pose(
+        rotation=jnp.broadcast_to(jnp.eye(3), (B, num_parts, 3, 3)),
+        translation=jnp.broadcast_to(center[:, None, :, None],
+                                     (B, num_parts, 3, 1)),
+        scale=jnp.broadcast_to(scale[:, None], (B, num_parts)))
+
+
 def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                     intrinsics=None):
     """Build the scan step: carry = Pose [B, P], frame = dict with
@@ -91,14 +111,18 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
 
         if cfg.track.nocs2d_label and "det_masks" in frame:
             # mask-free tracking: select the detector mask in-graph
-            # (reference does this on CPU, nocs_data_process.py:206-229)
-            def pick(masks, boxes, valid, c, r):
+            # (reference does this on CPU, nocs_data_process.py:206-229);
+            # when no same-class detection exists the reference keeps the
+            # prior mask (:218 prints and falls through) — same fallback
+            def pick(masks, boxes, valid, c, r, prior):
                 m, found = select_detection_mask(masks, boxes, valid, c, r,
                                                  K, image_hw)
-                return m
+                return jnp.where(found, m, prior)
 
+            prior = frame.get("mask", jnp.zeros_like(frame["det_masks"][:, 0]))
             masks = jax.vmap(pick)(frame["det_masks"], frame["det_boxes"],
-                                   frame["det_valid"], center, radius)
+                                   frame["det_valid"], center, radius,
+                                   prior)
         else:
             masks = frame["mask"]
 
@@ -132,7 +156,11 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
         seg, nocs = coord_out["seg"], coord_out["nocs"]
         pred_labels = jnp.argmax(seg, axis=-1)           # [B, N]
 
-        if cfg.track.gt_label and "labels" in frame:
+        # label source for the s/t fit: mask-derived labels when gt_label
+        # OR nocs2d_label (reference model.py:474-475 replaces pred_labels
+        # with the OTF labels in both cases), else the seg prediction
+        if (cfg.track.gt_label or cfg.track.nocs2d_label) \
+                and "labels" in frame:
             labels = frame["labels"]
         else:
             labels = pred_labels

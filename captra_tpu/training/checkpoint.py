@@ -6,8 +6,12 @@ composition where a CoordNet experiment's weights are spliced into the track
 model (trainer.py:159-170 remaps `net.*` -> `npcs_net.*`; here the two nets
 live in separate variable trees, so composition is just loading both).
 
-Uses orbax when available, with a pickle fallback (both store the same
-pytree: {params, batch_stats, opt_state, step, epoch}).
+Format: a single pickle file per epoch holding the numpy-materialized
+pytree {params, batch_stats, opt_state, step, epoch}, written atomically
+(tmp + rename).  Single-file pickle (rather than orbax's sharded
+directories) is deliberate: these nets are ~1-5M params and checkpoints are
+host-written by one process even under the data-parallel mesh (params are
+fully replicated), so sharded/async checkpointing buys nothing here.
 """
 from __future__ import annotations
 

@@ -271,10 +271,18 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self.epoch = epoch
         self.tx = make_optimizer(cfg, steps_per_epoch)
-        self._build_module(epoch)
+        self._bn_momentum = self._effective_bn_momentum(epoch)
+        self._build_module(self._bn_momentum)
 
-    def _build_module(self, epoch: int):
-        bn_m = bn_momentum_for_epoch(self.cfg, epoch)
+    def _effective_bn_momentum(self, epoch: int) -> float:
+        """The momentum value that actually parameterizes the module.  With
+        GroupNorm there are no running stats, so the schedule can never
+        change the module — pin it so `set_epoch` never retraces."""
+        if self.cfg.network.norm != "bn":
+            return bn_momentum_for_epoch(self.cfg, 0)
+        return bn_momentum_for_epoch(self.cfg, epoch)
+
+    def _build_module(self, bn_m: float):
         net_type = self.cfg.network.type
         if net_type == "canon_coord":
             self.module = CoordNet(self.cfg, bn_momentum=bn_m)
@@ -303,11 +311,16 @@ class Trainer:
                           step=jnp.zeros((), jnp.int32))
 
     def set_epoch(self, epoch: int):
-        """Apply the BN-momentum schedule (rebuilds the module definition;
-        params are unaffected)."""
-        if epoch != self.epoch:
-            self.epoch = epoch
-            self._build_module(epoch)
+        """Apply the BN-momentum schedule.  The module (and hence the jit
+        trace) is rebuilt only when the *effective momentum value* changes —
+        every `bn_momentum_step_size` epochs, not every epoch: through a
+        remote-compile tunnel a full-size retrace is minutes, so a 250-epoch
+        run must compile O(schedule steps), not O(epochs)."""
+        self.epoch = epoch
+        bn_m = self._effective_bn_momentum(epoch)
+        if bn_m != self._bn_momentum:
+            self._bn_momentum = bn_m
+            self._build_module(bn_m)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def train_step(self, state: TrainState, batch: dict, key: jax.Array):
@@ -337,17 +350,22 @@ class Trainer:
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def eval_step(self, state: TrainState, batch: dict, key: jax.Array):
+        # test semantics: CoordNet eval selects coordinates and solves s/t
+        # with *predicted* labels (reference networks.py:55,
+        # model.py:151-153 `labels = pred_labels if test else gt_labels`)
+        kw = ({"use_pred_labels": True}
+              if self.cfg.network.type == "canon_coord" else {})
         total, (loss_dict, metrics, _) = self.loss_fn(
             self.cfg, self.module, state.params, state.batch_stats, batch,
-            key, train=False)
+            key, train=False, **kw)
         loss_dict = dict(loss_dict)
         loss_dict["total_loss"] = total
         return loss_dict, metrics
 
-    # hashing for jit static self: identity is fine (module/cfg fixed per
-    # epoch; set_epoch rebuilds -> new trace)
+    # hashing for jit static self: keyed on the effective BN momentum (the
+    # only epoch-dependent module input), NOT the epoch — see set_epoch
     def __hash__(self):
-        return hash((id(self.module), self.cfg, self.epoch))
+        return hash((id(self.module), self.cfg, self._bn_momentum))
 
     def __eq__(self, other):
         return self is other

@@ -31,7 +31,16 @@ def main():
                     help="override optim grad_clip (None = config value)")
     ap.add_argument("--norm", default=None, choices=[None, "bn", "gn"],
                     help="override network/norm (gn: no train/eval BN gap)")
+    ap.add_argument("--eval_at", type=str, default=None,
+                    help="comma-separated step budgets: snapshot both nets "
+                         "at each and track with every matched pair "
+                         "(accuracy-vs-budget trend in one run)")
+    ap.add_argument("--distinct_batches", type=int, default=157,
+                    help="size of the cycled synthetic-batch pool "
+                         "(training-data diversity knob)")
     args = ap.parse_args()
+    eval_at = sorted({int(s) for s in args.eval_at.split(",")}) \
+        if args.eval_at else []
 
     import jax
     import jax.numpy as jnp
@@ -75,12 +84,16 @@ def main():
         state = trainer.init_state(key, batch0)
         steps = args.steps if net_type == "canon_coord" else \
             (args.rot_steps or args.steps)
+        steps = max([steps] + eval_at)
         t0 = time.time()
         k = key
         last = {}
-        batch_cache = {}  # 157 distinct batches; host generation is slow
+        # distinct-batch pool; host generation is slow, so cache (the pool
+        # size is the training-data-diversity knob for the budget trend)
+        batch_cache = {}
+        snapshots = {}  # budget -> host copy of (params, batch_stats)
         for i in range(steps):
-            ci = i % 157
+            ci = i % args.distinct_batches
             if ci not in batch_cache:
                 batch_cache[ci] = make_frame_batch(
                     ci, cfg.obj, batch=args.batch,
@@ -88,6 +101,9 @@ def main():
             b = batch_cache[ci]
             k, sub = jax.random.split(k)
             state, loss, metrics = trainer.train_step(state, b, sub)
+            if (i + 1) in eval_at:
+                snapshots[i + 1] = jax.tree.map(
+                    np.asarray, (state.params, state.batch_stats))
             if i % 100 == 0 or i == steps - 1:
                 last = {kk: float(vv) for kk, vv in
                         {**loss, **metrics}.items()}
@@ -102,6 +118,7 @@ def main():
         ckpt.save_checkpoint(os.path.join(args.out, net_type, "ckpt"),
                              epoch=0, state=state)
         states[net_type] = state
+        states[net_type + "/snapshots"] = snapshots
 
     # --- tracking ---------------------------------------------------------
     track_overrides = {
@@ -165,6 +182,33 @@ def main():
     print(f"\ntracking: {fps:.1f} frames/s/chip")
     print("tracked    ", {k: round(v, 4) for k, v in tracked.items()})
     print("frozen-init", {k: round(v, 4) for k, v in frozen_m.items()})
+
+    # --- accuracy-vs-budget trend: track with every snapshot pair ---------
+    # (weights are jit ARGUMENTS, so each budget reuses the compiled scan)
+    coord_snaps = states["canon_coord/snapshots"]
+    rot_snaps = states["rot/snapshots"]
+    trend = {}
+    for budget in sorted(set(coord_snaps) & set(rot_snaps)):
+        cparams, cstats = coord_snaps[budget]
+        rparams, rstats = rot_snaps[budget]
+        cvb = jax.tree.map(jnp.asarray, {"params": cparams,
+                                         "batch_stats": cstats})
+        rvb = jax.tree.map(jnp.asarray, {"params": rparams,
+                                         "batch_stats": rstats})
+        _, aux_b = run(cvb, rvb, init_pose, {"points": data["points"]})
+        errs_b = evaluate_track(aux_b.pose, gt_rest, sym=cfg.obj.sym)
+        trend[budget] = {
+            "frame1": {kk: float(jnp.mean(vv[0]))
+                       for kk, vv in errs_b.items()},
+            "full": {kk: float(jnp.mean(vv)) for kk, vv in errs_b.items()},
+        }
+        print(f"budget {budget}: frame1 rdiff="
+              f"{trend[budget]['frame1'].get('rdiff', 0):.2f} "
+              f"full rdiff={trend[budget]['full'].get('rdiff', 0):.2f} "
+              f"full 5d5cm={trend[budget]['full'].get('5deg5cm', 0):.3f}",
+              flush=True)
+    if trend:
+        report["trend"] = trend
 
     with open(os.path.join(args.out, "EVIDENCE.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -122,3 +122,62 @@ def test_track_bucket_helpers():
     np.testing.assert_array_equal(np.asarray(padded["points"][5]),
                                   np.asarray(frames["points"][4]))
     assert _pad_frames(frames, 5, 5) is frames
+
+
+def _tiny_synth_epochs(monkeypatch):
+    from captra_tpu.cli import train as train_cli
+    monkeypatch.setattr(train_cli, "synthetic_epoch",
+                        lambda cfg, epoch, steps=50: iter(
+                            [train_cli.make_frame_batch(
+                                epoch * 3 + i, cfg.obj, batch=2,
+                                num_points=128) for i in range(3)]))
+    return train_cli
+
+
+def test_save_frequency(config_dir, tmp_path, monkeypatch):
+    """--freq/save controls checkpoint cadence (reference train.py:94-95:
+    save iff (epoch+1) % freq == 0); the final epoch is always saved."""
+    train_cli = _tiny_synth_epochs(monkeypatch)
+    exp = str(tmp_path / "freq_exp")
+    train_cli.main(_common_args(config_dir, exp,
+                                ["--config", "config_coordnet.yml",
+                                 "--total_epoch", "4", "--freq/save", "2"]))
+    saved = sorted(os.listdir(pjoin(exp, "ckpt")))
+    assert saved == ["model_0001", "model_0003"]
+
+
+def test_resume_mid_recipe_bit_deterministic(config_dir, tmp_path,
+                                             monkeypatch):
+    """Train 2 epochs straight vs train 1 + resume for 1 more: identical
+    final checkpoint (per-epoch fold_in key streams + deterministic
+    synthetic batches + tolerant opt-state restore)."""
+    import pickle
+
+    import jax
+    train_cli = _tiny_synth_epochs(monkeypatch)
+
+    a = str(tmp_path / "straight")
+    train_cli.main(_common_args(config_dir, a,
+                                ["--config", "config_coordnet.yml",
+                                 "--total_epoch", "2"]))
+
+    b = str(tmp_path / "resumed")
+    train_cli.main(_common_args(config_dir, b,
+                                ["--config", "config_coordnet.yml",
+                                 "--total_epoch", "1"]))
+    assert os.path.exists(pjoin(b, "ckpt", "model_0000"))
+    train_cli.main(_common_args(config_dir, b,
+                                ["--config", "config_coordnet.yml",
+                                 "--total_epoch", "2"]))
+
+    with open(pjoin(a, "ckpt", "model_0001"), "rb") as f:
+        pa = pickle.load(f)
+    with open(pjoin(b, "ckpt", "model_0001"), "rb") as f:
+        pb = pickle.load(f)
+    assert pa["epoch"] == pb["epoch"] == 1
+    assert pa["step"] == pb["step"]
+    leaves_a = jax.tree.leaves(pa["params"])
+    leaves_b = jax.tree.leaves(pb["params"])
+    assert len(leaves_a) == len(leaves_b)
+    for xa, xb in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(xa, xb, rtol=0, atol=0)

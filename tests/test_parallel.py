@@ -176,3 +176,15 @@ def test_multiprocess_dcn_mesh(tmp_path):
                 p.kill()
     assert all(p.returncode == 0 for p in procs), "\n".join(outs)
     assert all("ok total=" in o for o in outs), "\n".join(outs)
+
+
+def test_hybrid_mesh_rejects_nondividing_dcn():
+    import pytest
+
+    from captra_tpu.parallel.mesh import hybrid_data_parallel_mesh
+    with pytest.raises(ValueError):
+        hybrid_data_parallel_mesh(dcn=3)  # 8 CPU devices, 3 does not divide
+    with pytest.raises(ValueError):
+        hybrid_data_parallel_mesh(dcn=16)  # more groups than devices
+    with pytest.raises(ValueError):
+        hybrid_data_parallel_mesh(dcn=2, ici=2)  # 2*2 != 8

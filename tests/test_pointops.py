@@ -267,3 +267,26 @@ def test_three_interp_rows_dense_matches_gather(rng):
                                          jnp.asarray(idx2), jnp.asarray(w),
                                          method="dense"))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_grouped_fps_degenerate_npoint_falls_back_to_exact(rng):
+    """npoint < 2*groups would make every stratum contribute only its
+    deterministic start (global points 0..7 regardless of geometry) — the
+    grouped paths must fall back to exact FPS instead (ADVICE r2)."""
+    import jax.numpy as jnp
+
+    from captra_tpu.ops.pointops import (
+        farthest_point_sample, farthest_point_sample_grouped_t,
+    )
+    xyz = rng.randn(2, 64, 3).astype(np.float32)
+    exact = np.asarray(farthest_point_sample(jnp.asarray(xyz), 8,
+                                             use_pallas=False))
+    grouped = np.asarray(farthest_point_sample(jnp.asarray(xyz), 8,
+                                               use_pallas=False,
+                                               mode="grouped"))
+    np.testing.assert_array_equal(exact, grouped)
+    grouped_t = np.asarray(farthest_point_sample_grouped_t(
+        jnp.asarray(np.swapaxes(xyz, -1, -2)), 8, use_pallas=False))
+    np.testing.assert_array_equal(exact, grouped_t)
+    # and NOT simply points 0..7
+    assert not np.array_equal(grouped[0], np.arange(8))

@@ -160,3 +160,55 @@ def test_train_step_nan_batch_keeps_state_finite(key):
     # and training continues normally on the next clean batch
     state3, loss, _ = trainer.train_step(state2, batch, key)
     assert np.isfinite(float(loss["total_loss"]))
+
+
+def test_set_epoch_no_retrace_within_momentum_step():
+    """The jit cache is keyed on hash(trainer); the hash must be stable
+    across epochs that share the effective BN momentum and change only at
+    schedule boundaries (VERDICT r2: per-epoch retraces cost minutes each
+    through a remote-compile tunnel)."""
+    trainer, cfg = _trainer("canon_coord")
+    step = cfg.optim.bn_momentum_step_size
+    h0 = hash(trainer)
+    mod0 = trainer.module
+    for e in range(1, step):
+        trainer.set_epoch(e)
+        assert hash(trainer) == h0 and trainer.module is mod0, e
+    trainer.set_epoch(step)  # momentum halves -> one legitimate rebuild
+    assert hash(trainer) != h0 and trainer.module is not mod0
+
+
+def test_set_epoch_never_retraces_with_groupnorm():
+    import dataclasses
+    _, cfg = _trainer("canon_coord")
+    cfg = dataclasses.replace(cfg, network=dataclasses.replace(
+        cfg.network, norm="gn"))
+    trainer = Trainer(cfg, steps_per_epoch=10)
+    h0, mod0 = hash(trainer), trainer.module
+    for e in (1, 20, 40, 200):
+        trainer.set_epoch(e)
+        assert hash(trainer) == h0 and trainer.module is mod0, e
+
+
+def test_eval_step_uses_pred_labels(key):
+    """Test semantics (reference networks.py:55, model.py:151-153): the
+    eval path must select coordinates / solve s-t with PREDICTED labels."""
+    from captra_tpu.training.trainer import coordnet_loss
+
+    obj = ObjCfg(num_parts=2, num_joints=1, tree=(-1, 0), extra_dims=0)
+    trainer, cfg = _trainer("canon_coord", obj=obj)
+    batch = make_frame_batch(0, cfg.obj, batch=2, num_points=128)
+    state = trainer.init_state(key, batch)
+
+    loss_dict, metrics = trainer.eval_step(state, batch, key)
+    ref_pred = coordnet_loss(cfg, trainer.module, state.params,
+                             state.batch_stats, batch, key, train=False,
+                             use_pred_labels=True)[0]
+    ref_gt = coordnet_loss(cfg, trainer.module, state.params,
+                           state.batch_stats, batch, key, train=False,
+                           use_pred_labels=False)[0]
+    total = float(loss_dict["total_loss"])
+    assert total == pytest.approx(float(ref_pred), rel=1e-5)
+    # with an untrained net pred labels differ from GT -> the two paths
+    # must be distinguishable (guards against the test passing vacuously)
+    assert abs(float(ref_pred) - float(ref_gt)) > 1e-6
