@@ -79,12 +79,16 @@ def _pad_frames(frames: dict, T: int, Tb: int) -> dict:
 
 
 def track_sequences(cfg, step, sequences, save: bool = False,
-                    no_eval: bool = False, seed: int = 0):
+                    no_eval: bool = False, seed: int = 0, mesh=None):
     """sequences: iterator of (name | names-tuple, batch) with leading
     [T, B, ...] — B trajectories track in parallel through one scan
     (reference DataLoader batching over SequenceData, dataset.py:197-205;
     scripts/track/sapien/laptop.sh --batch_size=6).  Per-trajectory metrics
-    and result pickles still come out per trajectory."""
+    and result pickles still come out per trajectory.
+
+    mesh: optional jax.sharding.Mesh — trajectory batches whose B divides
+    the mesh shard over it (embarrassingly parallel streaming inference,
+    SURVEY.md §2.3; no reference counterpart)."""
     run = jax.jit(lambda ip, fr: track_trajectory(step, ip, fr))
     key = jax.random.PRNGKey(seed)
     all_avgs, total_frames, total_time = {}, 0, 0.0
@@ -121,6 +125,10 @@ def track_sequences(cfg, step, sequences, save: bool = False,
         B = len(names)
         Tb = _bucket_length(T)
         frames = _pad_frames(frames, T, Tb)
+        if mesh is not None and B % mesh.devices.size == 0:
+            from captra_tpu.parallel.mesh import shard_batch
+            init_pose = shard_batch(init_pose, mesh, batch_dim=0)
+            frames = shard_batch(frames, mesh, batch_dim=1)
         if (Tb, B) not in warmed:
             # one untimed warm-up per (bucket length, batch) shape: compile
             # time must not pollute the reported fps (reference times pure
@@ -200,6 +208,14 @@ def main(argv=None):
     cv, rv = load_variables(cfg, args)
     step = build_step(cfg, cv, rv)
 
+    # multi-chip streaming inference: shard the trajectory batch over a
+    # data-parallel mesh (params replicated; SURVEY.md §2.3)
+    mesh = None
+    n_dev = args.num_devices or len(jax.devices())
+    if n_dev > 1:
+        from captra_tpu.parallel.mesh import data_parallel_mesh
+        mesh = data_parallel_mesh(n_dev)
+
     if args.synthetic_data:
         sequences = synthetic_sequences(cfg)
     else:
@@ -217,7 +233,7 @@ def main(argv=None):
                                      batch_size=cfg.batch_size)
 
     track_sequences(cfg, step, sequences, save=args.save,
-                    no_eval=args.no_eval)
+                    no_eval=args.no_eval, mesh=mesh)
 
 
 if __name__ == "__main__":

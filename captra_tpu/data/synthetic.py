@@ -195,6 +195,104 @@ def make_frame_batch(seed: int, obj: ObjCfg, batch: int = 8,
     }
 
 
+def geometry_pool(seed: int, obj: ObjCfg, count: int, num_points: int):
+    """Host-side NPCS geometry pool for device-side pose resampling:
+    {npcs [G, N, 3], labels [G, N], corners [G, P, 2, 3]} (the pose- and
+    noise-free part of `make_trajectory`)."""
+    rng = np.random.RandomState(seed)
+    P = obj.num_parts
+    shell = _revolution_shell if obj.sym else _part_shell
+    all_npcs, all_labels, all_corners = [], [], []
+    for _ in range(count):
+        sizes = rng.uniform(0.08, 0.18, (P, 3)).astype(np.float32)
+        offsets = np.zeros((P, 3), np.float32)
+        for p in range(P):
+            offsets[p, 0] = (p - (P - 1) / 2) * 0.25
+        n_per = num_points // P
+        npcs_parts, labels_parts = [], []
+        for p in range(P):
+            npcs_parts.append(shell(rng, n_per, sizes[p]) + offsets[p])
+            labels_parts.append(np.full(n_per, p, np.int64))
+        rest = num_points - n_per * P
+        if rest:
+            npcs_parts.append(shell(rng, rest, sizes[0]) + offsets[0])
+            labels_parts.append(np.full(rest, 0, np.int64))
+        all_npcs.append(np.concatenate(npcs_parts).astype(np.float32))
+        all_labels.append(np.concatenate(labels_parts))
+        all_corners.append(np.stack([offsets - sizes, offsets + sizes],
+                                    axis=1))
+    return {"npcs": jnp.asarray(np.stack(all_npcs)),
+            "labels": jnp.asarray(np.stack(all_labels)),
+            "corners": jnp.asarray(np.stack(all_corners))}
+
+
+def device_pose_batch(key: jax.Array, npcs: jnp.ndarray,
+                      labels: jnp.ndarray, corners: jnp.ndarray,
+                      obj: ObjCfg, scale_range=(0.15, 0.3),
+                      noise: float = 0.002) -> dict:
+    """Jittable data augmentation: re-render cached NPCS geometry under a
+    fresh random pose, ON DEVICE.  The TPU-native answer to pose-diversity-
+    limited training: the geometry pool is resident in HBM and every step
+    sees a brand-new pose draw at zero host cost (no host generation, no
+    H2D traffic per step — both expensive through a remote-dispatch tunnel).
+
+    npcs [B, N, 3], labels [B, N], corners [B, P, 2, 3] -> a training batch
+    {points, labels, nocs, pose, corners}.  Kinematics match
+    `make_trajectory`: root pose uniform-random; child parts get revolute
+    motion about `main_axis` anchored at the part's NPCS center, or
+    prismatic translation along it.
+    """
+    from captra_tpu.pose.rotations import axis_theta_to_matrix, quat_to_matrix
+    B, N, _ = npcs.shape
+    P = obj.num_parts
+    root = tree_root(obj.tree)
+    k_q, k_t, k_s, k_j, k_n = jax.random.split(key, 5)
+
+    q = jax.random.normal(k_q, (B, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    R_root = quat_to_matrix(q)                                   # [B, 3, 3]
+    t_root = jax.random.uniform(k_t, (B, 3), minval=-0.1,
+                                maxval=0.1) + jnp.array([0, 0, 0.8])
+    s = jax.random.uniform(k_s, (B,), minval=scale_range[0],
+                           maxval=scale_range[1])
+    theta = jax.random.uniform(k_j, (B, P), minval=0.0, maxval=0.6)
+
+    offsets = jnp.mean(corners, axis=2)                          # [B, P, 3]
+    Rs, ts = [], []
+    for p in range(P):
+        if p == root or obj.num_joints == 0:
+            Rs.append(R_root)
+            ts.append(t_root)
+            continue
+        jidx = min(p, len(obj.main_axis) - 1) if obj.main_axis else 0
+        ax = np.zeros(3, np.float32)
+        ax[obj.main_axis[jidx] if obj.main_axis else 1] = 1.0
+        ax = jnp.asarray(ax)
+        if obj.joint_type == "prismatic":
+            R_local = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+            t_local = ax * theta[:, p:p + 1] * 0.3               # [B, 3]
+        else:
+            R_local = axis_theta_to_matrix(
+                jnp.broadcast_to(ax, (B, 3)), theta[:, p])
+            t_local = jnp.einsum(
+                "bij,bj->bi", jnp.eye(3) - R_local, offsets[:, p])
+        Rs.append(jnp.einsum("bij,bjk->bik", R_root, R_local))
+        ts.append(s[:, None] * jnp.einsum("bij,bj->bi", R_root, t_local)
+                  + t_root)
+    R = jnp.stack(Rs, axis=1)                                    # [B, P, 3, 3]
+    t = jnp.stack(ts, axis=1)                                    # [B, P, 3]
+
+    posed = jnp.einsum("bpij,bnj->bpni", R, npcs) * s[:, None, None, None] \
+        + t[:, :, None]                                          # [B, P, N, 3]
+    own = jnp.take_along_axis(
+        posed, labels[:, None, :, None].repeat(3, -1), axis=1)[:, 0]
+    points = own + noise * jax.random.normal(k_n, own.shape)
+    pose = Pose(rotation=R, translation=t[..., None],
+                scale=jnp.broadcast_to(s[:, None], (B, P)))
+    return {"points": points, "labels": labels, "nocs": npcs,
+            "pose": pose, "corners": corners}
+
+
 def batch_trajectories(trajs: list[Trajectory]):
     """Stack B same-shape trajectories into batched arrays [T, B, ...]."""
     points = jnp.stack([t.points for t in trajs], axis=1)

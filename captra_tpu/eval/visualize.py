@@ -193,11 +193,13 @@ def visualize_scene_images(results_dir: str, img_dir: str, scene: str,
             corners = data["pred"]["corners"][i]
             if corners is None or not np.isfinite(np.asarray(
                     corners, dtype=np.float32)).all():
+                if data.get("gt") is None:  # GT-less artifact, no fallback
+                    continue
                 corners = data["gt"]["corners"]
             boxes = np.asarray(posed_bbox_from_part(pred_pose,
                                                     jnp.asarray(corners)))
             img = draw_boxes_on_image(img, boxes, intrinsics, color=color)
-            if draw_gt:
+            if draw_gt and data.get("gt") is not None:
                 gt_pose = Pose(**{k: jnp.asarray(v[i]) for k, v in
                                   data["gt"]["poses"].items()})
                 gt_boxes = np.asarray(posed_bbox_from_part(
@@ -226,16 +228,17 @@ def visualize_results_dir(results_dir: str, out_dir: str | None = None,
         with open(pjoin(data_dir, raw), "rb") as f:
             data = pickle.load(f)
         pred = data["pred"]
-        gt = data["gt"]
+        gt = data["gt"]  # None for GT-less real-capture artifacts
         pred_pose = Pose(**{k: jnp.asarray(v)
                             for k, v in pred["poses"].items()})
-        gt_pose = Pose(**{k: jnp.asarray(v) for k, v in gt["poses"].items()})
+        gt_pose = None if gt is None else \
+            Pose(**{k: jnp.asarray(v) for k, v in gt["poses"].items()})
         T = pred_pose.scale.shape[0]
         for t in range(0, T, max(1, T // max_frames)):
             boxes = np.asarray(posed_bbox_from_part(
                 pred_pose[t], jnp.asarray(pred["corners"][t])))
-            gt_boxes = np.asarray(posed_bbox_from_part(
-                gt_pose[t], jnp.asarray(gt["corners"])))
+            gt_boxes = None if gt_pose is None else np.asarray(
+                posed_bbox_from_part(gt_pose[t], jnp.asarray(gt["corners"])))
             path = pjoin(out_dir, f"{raw[:-4]}_{t:03d}.png")
             plot_tracked_boxes_3d(np.zeros((0, 3)), boxes, gt_boxes, path)
             written.append(path)

@@ -70,6 +70,10 @@ def shard_batch(batch, mesh: Mesh, axis=None, batch_dim: int = 0):
             else mesh.axis_names[0]
 
     def put(x):
+        if x.ndim <= batch_dim:
+            # leaves without the batch dim (e.g. per-frame scalar keys
+            # [T] when sharding frames at batch_dim=1) are replicated
+            return jax.device_put(x, NamedSharding(mesh, P()))
         spec = [None] * x.ndim
         spec[batch_dim] = axis
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))

@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--distinct_batches", type=int, default=157,
                     help="size of the cycled synthetic-batch pool "
                          "(training-data diversity knob)")
+    ap.add_argument("--device_aug", action="store_true", default=False,
+                    help="device-side pose resampling: every step draws a "
+                         "fresh random pose over an HBM-resident geometry "
+                         "pool (unbounded pose diversity, zero host cost)")
+    ap.add_argument("--geom_pool", type=int, default=512,
+                    help="geometry pool size for --device_aug")
     args = ap.parse_args()
     eval_at = sorted({int(s) for s in args.eval_at.split(",")}) \
         if args.eval_at else []
@@ -92,13 +98,34 @@ def main():
         # size is the training-data-diversity knob for the budget trend)
         batch_cache = {}
         snapshots = {}  # budget -> host copy of (params, batch_stats)
+        sample = None
+        if args.device_aug:
+            from captra_tpu.data.synthetic import (
+                device_pose_batch, geometry_pool,
+            )
+            pool = geometry_pool(seed=0 if net_type == "canon_coord" else 1,
+                                 obj=cfg.obj, count=args.geom_pool,
+                                 num_points=cfg.num_points)
+            G = pool["npcs"].shape[0]
+            obj_cfg = cfg.obj
+
+            @jax.jit
+            def sample(skey):
+                k_i, k_p = jax.random.split(skey)
+                idx = jax.random.randint(k_i, (args.batch,), 0, G)
+                geo = jax.tree.map(lambda x: x[idx], pool)
+                return device_pose_batch(k_p, geo["npcs"], geo["labels"],
+                                         geo["corners"], obj_cfg)
         for i in range(steps):
-            ci = i % args.distinct_batches
-            if ci not in batch_cache:
-                batch_cache[ci] = make_frame_batch(
-                    ci, cfg.obj, batch=args.batch,
-                    num_points=cfg.num_points)
-            b = batch_cache[ci]
+            if sample is not None:
+                b = sample(jax.random.fold_in(jax.random.PRNGKey(42), i))
+            else:
+                ci = i % args.distinct_batches
+                if ci not in batch_cache:
+                    batch_cache[ci] = make_frame_batch(
+                        ci, cfg.obj, batch=args.batch,
+                        num_points=cfg.num_points)
+                b = batch_cache[ci]
             k, sub = jax.random.split(k)
             state, loss, metrics = trainer.train_step(state, b, sub)
             if (i + 1) in eval_at:

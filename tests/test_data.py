@@ -213,3 +213,40 @@ def test_prefetch_order_and_errors():
     import pytest
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_device_pose_batch_consistency():
+    """Device-side pose resampling (synthetic.device_pose_batch): the
+    rendered points must equal each point's own-part pose applied to its
+    NPCS (up to the injected sensor noise), for rigid, revolute and
+    prismatic categories."""
+    import jax
+
+    from captra_tpu.config.schema import ObjCfg
+    from captra_tpu.data.synthetic import device_pose_batch, geometry_pool
+
+    for obj in (
+        ObjCfg(num_parts=1, num_joints=0, tree=(-1,), sym=True),
+        ObjCfg(num_parts=2, num_joints=1, tree=(-1, 0), main_axis=(1,),
+               joint_type="revolute"),
+        ObjCfg(num_parts=3, num_joints=2, tree=(-1, 0, 0), main_axis=(0, 0),
+               joint_type="prismatic"),
+    ):
+        pool = geometry_pool(seed=3, obj=obj, count=4, num_points=96)
+        batch = device_pose_batch(jax.random.PRNGKey(5), pool["npcs"],
+                                  pool["labels"], pool["corners"], obj,
+                                  noise=0.0)
+        pts = np.asarray(batch["points"])
+        labels = np.asarray(batch["labels"])
+        nocs = np.asarray(batch["nocs"])
+        R = np.asarray(batch["pose"].rotation)
+        t = np.asarray(batch["pose"].translation)[..., 0]
+        s = np.asarray(batch["pose"].scale)
+        B, N, _ = pts.shape
+        for b in range(B):
+            for p in range(obj.num_parts):
+                m = labels[b] == p
+                expect = s[b, p] * nocs[b][m] @ R[b, p].T + t[b, p]
+                np.testing.assert_allclose(pts[b][m], expect, atol=1e-5)
+        # poses differ across batch items (fresh draws)
+        assert not np.allclose(R[0, 0], R[1, 0])

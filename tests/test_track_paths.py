@@ -341,3 +341,39 @@ def test_real_gtless_tracking_e2e(tmp_path):
         data = pickle.load(f)
     assert data["gt"] is None
     assert np.isfinite(data["pred"]["poses"]["translation"]).all()
+
+    # GT-less artifacts must also flow through the offline consumers
+    from captra_tpu.eval.evaluator import evaluate_results_dir
+    from captra_tpu.eval.visualize import visualize_results_dir
+    err, _ = evaluate_results_dir(pjoin(cfg.experiment_dir, "results"),
+                                  cfg.obj, eval_iou=False, verbose=False)
+    assert err == {}  # nothing scoreable, but no crash
+    images = visualize_results_dir(pjoin(cfg.experiment_dir, "results"),
+                                   max_frames=2)
+    assert len(images) > 0
+
+
+def test_mesh_sharded_tracking_matches_unsharded():
+    """track_sequences with a device mesh shards the trajectory batch
+    (params replicated) and must reproduce the single-device results."""
+    from captra_tpu.cli.track import track_sequences
+    from captra_tpu.parallel.mesh import data_parallel_mesh
+
+    obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,))
+    cfg = tiny_config(num_parts=1).replace(
+        obj=obj, num_points=128, track=TrackCfg(init_frame_gt=True))
+    step = _net_step(cfg)
+    T, B = 5, 4
+    trajs = [make_trajectory(seed=200 + s, obj=obj, num_frames=T,
+                             num_points=cfg.num_points) for s in range(B)]
+
+    def seqs():
+        yield tuple(f"t/{s}" for s in range(B)), batch_trajectories(trajs)
+
+    plain = track_sequences(cfg, step, seqs())
+    mesh = data_parallel_mesh(4)
+    sharded = track_sequences(cfg, step, seqs(), mesh=mesh)
+    assert set(plain) == set(sharded)
+    for k in plain:
+        np.testing.assert_allclose(plain[k], sharded[k], rtol=1e-4,
+                                   atol=1e-5)
