@@ -620,3 +620,70 @@ def test_tracked_trajectory_parity(rng, sym):
         np.testing.assert_allclose(
             np.asarray(pose_j.scale), ref_poses[t]["scale"].numpy(),
             rtol=5e-3, atol=1e-3, err_msg=f"frame {t}")
+
+
+def test_nocs2d_selection_parity(rng):
+    """Detection-mask selection vs the reference's own numpy code
+    (nocs_data_process.py:166-229 compute_2d_bbox_iou + get_proj_corners +
+    the grow-radius selection loop), run verbatim on random scenes."""
+    import importlib
+    import os
+    import sys
+    import types
+
+    base = "/root/reference/datasets/nocs_data"
+    for p in (base, os.path.join(base, ".."), "/root/reference"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    # data_utils (transitively imported) needs trimesh, absent here — the
+    # 2D-selection code under test never touches it
+    sys.modules.setdefault("trimesh", types.ModuleType("trimesh"))
+    ndp = importlib.import_module("nocs_data_process")
+
+    from captra_tpu.data.nocs2d import (
+        compute_2d_bbox_iou, projected_track_bbox, select_nocs2d_mask,
+    )
+    from captra_tpu.data.preproc_nocs import REAL_INTRINSICS
+
+    H, W = 480, 640
+    depth = np.zeros((H, W), np.uint16)
+    for trial in range(20):
+        center = np.array([rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3),
+                           -rng.uniform(0.8, 1.6)])
+        radius = rng.uniform(0.05, 0.4)
+
+        ref_box = ndp.get_proj_corners(depth, center, radius).reshape(-1)
+        box = projected_track_bbox((H, W), center, radius)
+        np.testing.assert_array_equal(box, ref_box)
+
+        K = 5
+        boxes = np.stack([np.sort(rng.randint(0, H - 1, 2)).tolist() +
+                          np.sort(rng.randint(0, W - 1, 2)).tolist()
+                          for _ in range(K)]).astype(np.float64)
+        boxes = boxes[:, [0, 2, 1, 3]]  # (y1, x1, y2, x2)
+        ref_iou = ndp.compute_2d_bbox_iou(ref_box, boxes)
+        iou = compute_2d_bbox_iou(box.astype(np.float64), boxes)
+        np.testing.assert_allclose(iou, ref_iou, rtol=1e-12)
+
+        # full selection loop parity (same-class filter + x1.2 growth)
+        cls = rng.randint(1, 4, K)
+        masks = rng.rand(H // 8, W // 8, K) > 0.5  # content irrelevant
+        result = {"pred_class_ids": cls, "pred_bboxes": boxes,
+                  "pred_masks": masks}
+        category = 1
+        same = cls == category
+        if same.sum() == 0:
+            assert select_nocs2d_mask(result, category, (H, W), center,
+                                      radius) is None
+            continue
+        # reference loop, verbatim semantics (nocs_data_process.py:218-229)
+        r = float(radius)
+        while True:
+            track_box = ndp.get_proj_corners(depth, center, r).reshape(-1)
+            ious = ndp.compute_2d_bbox_iou(track_box, boxes) * same
+            if np.max(ious) > 0.05 or r > 0.5:
+                break
+            r *= 1.2
+        ref_best = int(np.argmax(ious))
+        got = select_nocs2d_mask(result, category, (H, W), center, radius)
+        np.testing.assert_array_equal(got, masks[..., ref_best])
