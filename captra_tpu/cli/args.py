@@ -78,13 +78,20 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
       help="restrict the data-parallel mesh to this many devices")
     a("--synthetic_data", action="store_true", default=False,
       help="run on generated synthetic data instead of a dataset on disk")
+    a("--device_aug", action="store_true", default=False,
+      help="with --synthetic_data: draw a fresh random pose per step over "
+           "an HBM-resident geometry pool (device-side augmentation; "
+           "unbounded pose diversity at zero host cost)")
+    a("--geom_pool", type=int, default=512,
+      help="geometry pool size for --device_aug")
     return parser
 
 
 def config_overrides(args: argparse.Namespace) -> dict:
     """Namespace -> {slash_path: value} (only explicitly set flags)."""
     skip = {"config", "config_dir", "resume_epoch", "save", "no_eval",
-            "num_devices", "synthetic_data", "mode_name"}
+            "num_devices", "synthetic_data", "mode_name", "device_aug",
+            "geom_pool"}
     out = {}
     for key, value in vars(args).items():
         if key in skip or value is None or value is False:

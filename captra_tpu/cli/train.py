@@ -53,6 +53,34 @@ def synthetic_epoch(cfg, epoch: int, steps: int = 50):
                                num_points=cfg.num_points)
 
 
+def device_aug_epoch(cfg, sampler, epoch: int, steps: int):
+    """Device-side augmented epoch: every step draws a fresh random pose
+    over the HBM-resident geometry pool (data/synthetic.py
+    device_pose_batch) — no host generation, no per-step H2D traffic."""
+    base = jax.random.PRNGKey(42)
+    for i in range(steps):
+        yield sampler(jax.random.fold_in(base, epoch * steps + i))
+
+
+def make_device_aug_sampler(cfg, pool_size: int):
+    from captra_tpu.data.synthetic import device_pose_batch, geometry_pool
+    pool = geometry_pool(seed=0, obj=cfg.obj, count=pool_size,
+                         num_points=cfg.num_points)
+    G = pool["npcs"].shape[0]
+    obj = cfg.obj
+    batch = cfg.batch_size
+
+    @jax.jit
+    def sample(key):
+        k_i, k_p = jax.random.split(key)
+        idx = jax.random.randint(k_i, (batch,), 0, G)
+        geo = jax.tree.map(lambda x: x[idx], pool)
+        return device_pose_batch(k_p, geo["npcs"], geo["labels"],
+                                 geo["corners"], obj)
+
+    return sample
+
+
 def main(argv=None):
     from captra_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
@@ -129,9 +157,14 @@ def main(argv=None):
                         sums[k] / max(count, 1))
         return count
 
+    sampler = (make_device_aug_sampler(cfg, args.geom_pool)
+               if args.synthetic_data and args.device_aug else None)
+
     for epoch in range(start_epoch, cfg.optim.total_epoch):
         trainer.set_epoch(epoch)
-        if args.synthetic_data:
+        if sampler is not None:
+            batches = device_aug_epoch(cfg, sampler, epoch, steps_per_epoch)
+        elif args.synthetic_data:
             batches = synthetic_epoch(cfg, epoch, steps_per_epoch)
         else:
             batches = single_frame_batches(train_ds, cfg.batch_size,

@@ -179,6 +179,12 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    @property
+    def num_expr(self) -> str:
+        """Experiment name, used to key the dataset split directory
+        (reference config.py:48: the experiment dir's last path segment)."""
+        return self.experiment_dir.rstrip("/").split("/")[-1] or "exp"
+
 
 class _frozen(dict):
     """Hashable immutable mapping so Config stays usable as a static arg."""

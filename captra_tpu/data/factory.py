@@ -25,6 +25,7 @@ def make_dataset(cfg: Config, mode: str, downsampling: int | None = None):
         from captra_tpu.data.nocs import NOCSDataset
         return NOCSDataset(
             obj.basepath, obj.category, obj,
+            num_expr=cfg.num_expr,
             num_points=cfg.num_points, mode=mode,
             radius=cfg.data_radius, perturb=cfg.perturb,
             truncate_length=cfg.dataset_length,
@@ -44,6 +45,7 @@ def make_dataset(cfg: Config, mode: str, downsampling: int | None = None):
                                  truncate_length=cfg.dataset_length)
     from captra_tpu.data.sapien import SAPIENDataset
     return SAPIENDataset(obj.basepath, obj.category, obj,
+                         num_expr=cfg.num_expr,
                          num_points=cfg.num_points, mode=mode,
                          truncate_length=cfg.dataset_length)
 

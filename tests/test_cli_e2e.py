@@ -181,3 +181,15 @@ def test_resume_mid_recipe_bit_deterministic(config_dir, tmp_path,
     assert len(leaves_a) == len(leaves_b)
     for xa, xb in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(xa, xb, rtol=0, atol=0)
+
+
+def test_train_device_aug(config_dir, tmp_path):
+    """--device_aug trains on device-side pose resampling (fresh poses per
+    step over the geometry pool) through the real CLI."""
+    from captra_tpu.cli import train as train_cli
+    exp = str(tmp_path / "aug_exp")
+    train_cli.main(_common_args(config_dir, exp,
+                                ["--config", "config_coordnet.yml",
+                                 "--total_epoch", "1", "--device_aug",
+                                 "--geom_pool", "8"]))
+    assert os.path.exists(pjoin(exp, "ckpt", "model_0000"))
