@@ -23,10 +23,19 @@ from captra_tpu.training import checkpoint as ckpt
 from captra_tpu.training.trainer import Trainer
 
 
-def cyclic(make_iter):
+def syn_stream(dataset, batch_size: int, consumed: int):
+    """Persistent synthetic stream (reference train_nocs_finetune.py:52-60
+    keeps one iterator across epochs), fast-forwardable: `consumed` batches
+    are skipped at the index level (no disk reads) so a resumed run
+    continues the stream where an uninterrupted one would be."""
+    per = max(1, len(dataset) // batch_size)
+    seed = consumed // per
+    start = consumed % per
     while True:
-        for item in make_iter():
-            yield item
+        seed += 1
+        yield from single_frame_batches(dataset, batch_size, seed=seed,
+                                        start_batch=start)
+        start = 0
 
 
 def main(argv=None):
@@ -75,14 +84,8 @@ def main(argv=None):
     mesh = data_parallel_mesh(n_dev)
     state = replicate(state, mesh)
 
-    syn_epoch = [0]
-
-    def syn_iter():
-        syn_epoch[0] += 1
-        return single_frame_batches(syn_ds, cfg.batch_size,
-                                    seed=syn_epoch[0])
-
-    syn_cycle = cyclic(syn_iter)
+    syn_cycle = syn_stream(syn_ds, cfg.batch_size,
+                           consumed=start_epoch * syn_per_epoch)
 
     for epoch in range(start_epoch, cfg.optim.total_epoch):
         trainer.set_epoch(epoch)
@@ -93,8 +96,12 @@ def main(argv=None):
                 ("Real_Train", single_frame_batches(real_ds, cfg.batch_size,
                                                     seed=epoch))]:
             sums, count = {}, 0
-            # per-(epoch, phase) key stream -> bit-deterministic resume
-            # (see cli/train.py run_epoch)
+            # per-(epoch, phase) key stream: the perturbation keys replay
+            # identically on resume, and the synthetic stream fast-forwards
+            # (syn_stream) — NOT fully bit-deterministic though: the NOCS
+            # crop perturbation uses the dataset's own RNG whose position
+            # is not checkpointed (cli/train.py's synthetic path IS
+            # bit-deterministic, tests/test_cli_e2e.py)
             ekey = jax.random.fold_in(jax.random.fold_in(key, epoch),
                                       0 if tag == "Syn_Train" else 1)
             for batch in prefetch(batches):

@@ -132,8 +132,13 @@ def track_sequences(cfg, step, sequences, save: bool = False,
         if (Tb, B) not in warmed:
             # one untimed warm-up per (bucket length, batch) shape: compile
             # time must not pollute the reported fps (reference times pure
-            # loop iterations, network/test.py:77-94)
-            out = run(init_pose, frames)
+            # loop iterations, network/test.py:77-94).  Warm on ZEROED
+            # inputs: through a remote-dispatch tunnel an identical
+            # (program, input) pair can be served from a result cache, so
+            # warming on the real input would make the timed dispatch
+            # absurdly fast (see scripts/tpu_flagship_demo.py timing note)
+            out = run(jax.tree.map(jnp.zeros_like, init_pose),
+                      jax.tree.map(jnp.zeros_like, frames))
             jax.block_until_ready(out[1].pose.scale)
             warmed.add((Tb, B))
         t0 = time.perf_counter()

@@ -62,9 +62,9 @@ def device_aug_epoch(cfg, sampler, epoch: int, steps: int):
         yield sampler(jax.random.fold_in(base, epoch * steps + i))
 
 
-def make_device_aug_sampler(cfg, pool_size: int):
+def make_device_aug_sampler(cfg, pool_size: int, pool_seed: int = 0):
     from captra_tpu.data.synthetic import device_pose_batch, geometry_pool
-    pool = geometry_pool(seed=0, obj=cfg.obj, count=pool_size,
+    pool = geometry_pool(seed=pool_seed, obj=cfg.obj, count=pool_size,
                          num_points=cfg.num_points)
     G = pool["npcs"].shape[0]
     obj = cfg.obj
@@ -157,8 +157,11 @@ def main(argv=None):
                         sums[k] / max(count, 1))
         return count
 
+    if args.device_aug and not args.synthetic_data:
+        raise SystemExit("--device_aug resamples poses over generated "
+                         "geometry and requires --synthetic_data")
     sampler = (make_device_aug_sampler(cfg, args.geom_pool)
-               if args.synthetic_data and args.device_aug else None)
+               if args.device_aug else None)
 
     for epoch in range(start_epoch, cfg.optim.total_epoch):
         trainer.set_epoch(epoch)

@@ -33,6 +33,11 @@ def make_dataset(cfg: Config, mode: str, downsampling: int | None = None):
             nocs2d_path=(cfg.track.nocs2d_path
                          if cfg.track.nocs2d_label else None))
     if "bmvc" in mode:
+        if downsampling:
+            # a BMVC "dataset" is one contiguous trajectory; skipping
+            # frames would silently change the tracked video
+            raise ValueError("downsampling is not supported for BMVC "
+                             "trajectories")
         from captra_tpu.data.real_arti import BMVCDataset
         tok = mode.split("_")[-1]
         return BMVCDataset(obj.basepath, obj.category,
@@ -42,12 +47,14 @@ def make_dataset(cfg: Config, mode: str, downsampling: int | None = None):
         from captra_tpu.data.real_arti import SAPIENRealDataset
         return SAPIENRealDataset(obj.basepath, obj.category,
                                  num_points=cfg.num_points,
-                                 truncate_length=cfg.dataset_length)
+                                 truncate_length=cfg.dataset_length,
+                                 downsampling=downsampling)
     from captra_tpu.data.sapien import SAPIENDataset
     return SAPIENDataset(obj.basepath, obj.category, obj,
                          num_expr=cfg.num_expr,
                          num_points=cfg.num_points, mode=mode,
-                         truncate_length=cfg.dataset_length)
+                         truncate_length=cfg.dataset_length,
+                         downsampling=downsampling)
 
 
 def default_track_mode(cfg: Config) -> str:

@@ -106,19 +106,28 @@ def collate_frames(items: Sequence[dict], shuffle_points: bool = False,
 
 def single_frame_batches(dataset, batch_size: int, shuffle: bool = True,
                          seed: int = 0, drop_last: bool = True,
-                         shuffle_points: bool = True) -> Iterator[dict]:
+                         shuffle_points: bool = True,
+                         start_batch: int = 0) -> Iterator[dict]:
     """Epoch iterator of collated batches (reference SingleFrameData +
     DataLoader, dataset.py:197-205; point shuffling per
-    data_transforms.py:3-10)."""
+    data_transforms.py:3-10).
+
+    start_batch skips the first N batches WITHOUT touching the dataset
+    (same shuffled index order; used to fast-forward a resumed persistent
+    stream, cli/finetune.py).  The skipped batches' point-shuffle RNG draws
+    are not replayed — point order is irrelevant to every consumer."""
     rng = np.random.RandomState(seed)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
-    for start in range(0, len(order) - (batch_size - 1 if drop_last else 0),
-                       batch_size):
+    for bi, start in enumerate(
+            range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                  batch_size)):
         idxs = order[start:start + batch_size]
         if len(idxs) < batch_size and drop_last:
             break
+        if bi < start_batch:
+            continue
         yield collate_frames([dataset[int(i)] for i in idxs],
                              shuffle_points=shuffle_points, rng=rng)
 
@@ -144,18 +153,35 @@ def sequence_batches(dataset, num_frames: int | None = None,
                for i in range(0, len(idxs) - num_frames + 1, num_frames)])
         chunks += [(f"{name}/{ci}", c) for ci, c in enumerate(cs)]
 
-    # group same-length chunks (in order) into batches of up to batch_size
+    # group same-length chunks (in order) into batches of up to batch_size;
+    # a chunk whose collated key set differs (e.g. one track lost its
+    # pre_fetched depth) flushes the pending batch instead of crashing the
+    # tree.map stack with a structure mismatch
     by_len: dict[int, list[tuple[str, list[int]]]] = {}
     for item in chunks:
         by_len.setdefault(len(item[1]), []).append(item)
+
+    def flush(pending):
+        names = tuple(n for n, _ in pending)
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1),
+                             *[c for _, c in pending])
+        return (names[0] if len(names) == 1 else names), batch
+
+    bs = max(batch_size, 1)
     for T, group in by_len.items():
-        for start in range(0, len(group), max(batch_size, 1)):
-            part = group[start:start + max(batch_size, 1)]
-            cols = [collate_frames([dataset[int(i)] for i in chunk])
-                    for _, chunk in part]                  # each [T, ...]
-            batch = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *cols)
-            names = tuple(n for n, _ in part)
-            yield (names[0] if len(names) == 1 else names), batch
+        pending: list[tuple[str, dict]] = []
+        for name, chunk in group:
+            col = collate_frames([dataset[int(i)] for i in chunk])
+            if pending and (jax.tree.structure(col)
+                            != jax.tree.structure(pending[0][1])):
+                yield flush(pending)
+                pending = []
+            pending.append((name, col))
+            if len(pending) == bs:
+                yield flush(pending)
+                pending = []
+        if pending:
+            yield flush(pending)
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:

@@ -105,7 +105,7 @@ class NOCSDataset:
                  mode: str = "train", truncate_length: int | None = None,
                  radius: float = 0.6, perturb: PerturbCfg | None = None,
                  downsampling: int | None = None, seed: int = 0,
-                 nocs2d_path: str | None = None, max_dets: int = 16):
+                 nocs2d_path: str | None = None, max_dets: int = 8):
         self.root_dset = root_dset
         self.obj_category = obj_category
         self.obj_cfg = obj_cfg
@@ -211,26 +211,38 @@ class NOCSDataset:
 
     def _pre_fetch_dets(self, depth_path: str, image_hw) -> dict:
         """Fixed-K detection arrays for in-graph NOCS-2D mask selection:
-        det_masks [K, H, W] bool, det_boxes [K, 4] (y1,x1,y2,x2) float32,
-        det_valid [K] bool (same-class & present — reference
-        `pred_class_ids == int(category)`, nocs_data_process.py:215-217).
-        Missing result pickles yield all-invalid frames (the tracker then
-        keeps the prior mask, matching the reference's fallthrough)."""
+        det_masks [K, H, ceil(W/8)] uint8 (bit-packed along W, little
+        bit-order — unpacked in-graph by preprocess.unpack_detection_masks),
+        det_boxes [K, 4] (y1,x1,y2,x2) float32, det_valid [K] bool.
+
+        Only same-class detections are kept (reference filters with
+        `pred_class_ids == int(category)`, nocs_data_process.py:215-217),
+        so K bounds the per-class count, not the raw detector output.
+        Missing result pickles / no same-class detections yield all-invalid
+        frames (the tracker then keeps the prior mask, matching the
+        reference's fallthrough)."""
         from captra_tpu.data.nocs2d import load_nocs2d_result
         K = self.max_dets
         H, W = image_hw
-        masks = np.zeros((K, H, W), bool)
+        W8 = -(-W // 8)
+        masks = np.zeros((K, H, W8), np.uint8)
         boxes = np.zeros((K, 4), np.float32)
         valid = np.zeros((K,), bool)
         result = load_nocs2d_result(self.nocs2d_path, depth_path)
         if result is not None:
             cls = np.asarray(result["pred_class_ids"])
-            n = min(len(cls), K)
-            pm = np.asarray(result["pred_masks"])
-            boxes[:n] = np.asarray(result["pred_bboxes"],
-                                   np.float32)[:n]
-            masks[:n] = np.moveaxis(pm, -1, 0)[:n].astype(bool)
-            valid[:n] = cls[:n] == int(self.obj_category)
+            sel = np.where(cls == int(self.obj_category))[0][:K]
+            n = len(sel)
+            if n:
+                pm = np.moveaxis(np.asarray(result["pred_masks"]),
+                                 -1, 0)[sel].astype(bool)
+                pad = W8 * 8 - W
+                if pad:
+                    pm = np.pad(pm, ((0, 0), (0, 0), (0, pad)))
+                masks[:n] = np.packbits(pm, axis=-1, bitorder="little")
+                boxes[:n] = np.asarray(result["pred_bboxes"],
+                                       np.float32)[sel]
+                valid[:n] = True
         return {"det_masks": masks, "det_boxes": boxes,
                 "det_valid": valid}
 

@@ -249,6 +249,20 @@ def _bbox_iou_1vK(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-9)
 
 
+def unpack_detection_masks(packed: jnp.ndarray, image_hw) -> jnp.ndarray:
+    """Bit-packed detection masks -> bool masks, in-graph.
+
+    packed [..., H, ceil(W/8)] uint8, little bit-order along W (host side
+    packs with np.packbits(..., bitorder='little') — see
+    data/nocs.py:_pre_fetch_dets).  Packing is a memory measure: a full
+    NOCS real scene's [T, K, H, W] bool detection stack is ~GBs; 1 bit per
+    pixel cuts it 8x before the per-frame unpack inside the scan."""
+    W = image_hw[1]
+    bits = (packed[..., None] >> jnp.arange(8, dtype=packed.dtype)) & 1
+    full = bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
+    return full[..., :W].astype(bool)
+
+
 @functools.partial(jax.jit, static_argnames=("image_hw", "max_grow"))
 def select_detection_mask(det_masks: jnp.ndarray, det_boxes: jnp.ndarray,
                           det_valid: jnp.ndarray, center: jnp.ndarray,

@@ -89,7 +89,7 @@ class SAPIENRealDataset:
 
     def __init__(self, root_dset: str, obj_category: str,
                  num_points: int = 4096, truncate_length: int | None = None,
-                 seed: int = 0):
+                 seed: int = 0, downsampling: int | None = None):
         self.root_dset = root_dset
         self.obj_category = obj_category
         self.num_points = num_points
@@ -104,6 +104,8 @@ class SAPIENRealDataset:
                 frames = sorted(os.listdir(cdir),
                                 key=lambda s: int(s.split(".")[0]))
                 self.file_list += [pjoin(cdir, f) for f in frames]
+        if downsampling:
+            self.file_list = self.file_list[::downsampling]
         if truncate_length:
             self.file_list = self.file_list[:truncate_length]
 

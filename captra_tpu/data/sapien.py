@@ -212,7 +212,7 @@ class SAPIENDataset:
                  num_expr: str = "exp", num_points: int = 4096,
                  mode: str = "train", truncate_length: int | None = None,
                  synthetic: bool = True, seed: int = 0,
-                 model_info_loader=None):
+                 model_info_loader=None, downsampling: int | None = None):
         self.root_dset = root_dset
         self.obj_category = obj_category
         self.obj_cfg = obj_cfg
@@ -224,10 +224,11 @@ class SAPIENDataset:
         self.rng = np.random.RandomState(seed)
         self.model_info_loader = model_info_loader or self._load_model_info
         self.model_info_cache: dict[str, dict] = {}
-        self.file_list = self._collect(num_expr, truncate_length)
+        self.file_list = self._collect(num_expr, truncate_length,
+                                       downsampling)
 
     # -- file enumeration ---------------------------------------------------
-    def _collect(self, num_expr, truncate_length):
+    def _collect(self, num_expr, truncate_length, downsampling=None):
         render = pjoin(self.root_dset, f"render{self.suffix}",
                        self.obj_category)
         file_list = []
@@ -247,6 +248,8 @@ class SAPIENDataset:
                                 key=lambda s: int(s.split(".")[0]))
                 file_list += [pjoin(render, instance, track, "cloud", f)
                               for f in frames]
+        if downsampling:
+            file_list = file_list[::downsampling]
         if truncate_length:
             file_list = file_list[:truncate_length]
         return file_list

@@ -99,6 +99,7 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
         from captra_tpu.data.preprocess import (
             NOCS_REAL_INTRINSICS, backproject_depth_planes,
             crop_ball_batch_planes, select_detection_mask,
+            unpack_detection_masks,
         )
         K = intrinsics if intrinsics is not None else NOCS_REAL_INTRINSICS
         center = pose.translation[:, root, :, 0]          # [B, 3]
@@ -111,18 +112,33 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
 
         if cfg.track.nocs2d_label and "det_masks" in frame:
             # mask-free tracking: select the detector mask in-graph
-            # (reference does this on CPU, nocs_data_process.py:206-229);
-            # when no same-class detection exists the reference keeps the
-            # prior mask (:218 prints and falls through) — same fallback
-            def pick(masks, boxes, valid, c, r, prior):
-                m, found = select_detection_mask(masks, boxes, valid, c, r,
-                                                 K, image_hw)
-                return jnp.where(found, m, prior)
+            # (reference does this on CPU, nocs_data_process.py:206-229).
+            # On a detection-miss frame (no same-class detection) the
+            # reference keeps the pre-fetched instance mask (:217-218
+            # prints 'no same class pred!' and falls through with `mask`
+            # unchanged) — mirrored here when a mask is available; on a
+            # truly mask-free capture the best-IoU mask is used regardless
+            # (an all-background label set would degenerate the s/t fit)
+            det_masks = unpack_detection_masks(frame["det_masks"], image_hw)
 
-            prior = frame.get("mask", jnp.zeros_like(frame["det_masks"][:, 0]))
-            masks = jax.vmap(pick)(frame["det_masks"], frame["det_boxes"],
-                                   frame["det_valid"], center, radius,
-                                   prior)
+            if "mask" in frame:
+                def pick(masks, boxes, valid, c, r, prior):
+                    m, found = select_detection_mask(
+                        masks, boxes, valid, c, r, K, image_hw)
+                    return jnp.where(found, m, prior)
+
+                masks = jax.vmap(pick)(det_masks, frame["det_boxes"],
+                                       frame["det_valid"], center, radius,
+                                       frame["mask"])
+            else:
+                def pick_best(masks, boxes, valid, c, r):
+                    m, _ = select_detection_mask(
+                        masks, boxes, valid, c, r, K, image_hw)
+                    return m
+
+                masks = jax.vmap(pick_best)(det_masks, frame["det_boxes"],
+                                            frame["det_valid"], center,
+                                            radius)
         else:
             masks = frame["mask"]
 

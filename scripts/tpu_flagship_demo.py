@@ -100,22 +100,10 @@ def main():
         snapshots = {}  # budget -> host copy of (params, batch_stats)
         sample = None
         if args.device_aug:
-            from captra_tpu.data.synthetic import (
-                device_pose_batch, geometry_pool,
-            )
-            pool = geometry_pool(seed=0 if net_type == "canon_coord" else 1,
-                                 obj=cfg.obj, count=args.geom_pool,
-                                 num_points=cfg.num_points)
-            G = pool["npcs"].shape[0]
-            obj_cfg = cfg.obj
-
-            @jax.jit
-            def sample(skey):
-                k_i, k_p = jax.random.split(skey)
-                idx = jax.random.randint(k_i, (args.batch,), 0, G)
-                geo = jax.tree.map(lambda x: x[idx], pool)
-                return device_pose_batch(k_p, geo["npcs"], geo["labels"],
-                                         geo["corners"], obj_cfg)
+            from captra_tpu.cli.train import make_device_aug_sampler
+            sample = make_device_aug_sampler(
+                cfg, args.geom_pool,
+                pool_seed=0 if net_type == "canon_coord" else 1)
         for i in range(steps):
             if sample is not None:
                 b = sample(jax.random.fold_in(jax.random.PRNGKey(42), i))
