@@ -57,6 +57,9 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--mode_name", type=str, default=None,
       help="dataset split for tracking (real_test / test / test_seq / "
            "bmvc_<track>; reference parse_args.py --mode_name)")
+    a("--use_val", type=str, default=None,
+      help="additional split evaluated each epoch during training "
+           "(reference train.py:52-80)")
     a("--init_frame/gt", type=boolean_string, default=None)
 
     for key in ("rloss", "tloss", "sloss", "corner_loss", "nocs_loss",
@@ -91,7 +94,7 @@ def config_overrides(args: argparse.Namespace) -> dict:
     """Namespace -> {slash_path: value} (only explicitly set flags)."""
     skip = {"config", "config_dir", "resume_epoch", "save", "no_eval",
             "num_devices", "synthetic_data", "mode_name", "device_aug",
-            "geom_pool"}
+            "geom_pool", "use_val"}
     out = {}
     for key, value in vars(args).items():
         if key in skip or value is None or value is False:

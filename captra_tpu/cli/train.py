@@ -122,13 +122,20 @@ def main(argv=None):
 
     state = replicate(state, mesh)
 
-    test_ds = None
+    test_ds, val_ds = None, None
     if not args.synthetic_data:
         try:
             test_ds = make_dataset(
                 cfg, "real_test" if cfg.obj.nocs_data else "test")
         except Exception as e:  # no test split on disk
             logger.info("no test split (%s); skipping per-epoch eval", e)
+        if args.use_val:
+            # additional per-epoch split, logged under its own tag
+            # (reference train.py:52-80 --use_val)
+            try:
+                val_ds = make_dataset(cfg, args.use_val)
+            except Exception as e:
+                logger.info("no %s split (%s)", args.use_val, e)
 
     def run_epoch(batches, train: bool, tag: str, epoch: int):
         nonlocal state
@@ -186,6 +193,10 @@ def main(argv=None):
             run_epoch(single_frame_batches(test_ds, cfg.batch_size,
                                            shuffle=False),
                       train=False, tag="Test", epoch=epoch)
+        if val_ds is not None:
+            run_epoch(single_frame_batches(val_ds, cfg.batch_size,
+                                           shuffle=False),
+                      train=False, tag=args.use_val, epoch=epoch)
     return state
 
 

@@ -193,3 +193,32 @@ def test_train_device_aug(config_dir, tmp_path):
                                  "--total_epoch", "1", "--device_aug",
                                  "--geom_pool", "8"]))
     assert os.path.exists(pjoin(exp, "ckpt", "model_0000"))
+
+
+def test_train_use_val_split(config_dir, tmp_path):
+    """--use_val evaluates an extra split each epoch under its own tag
+    (reference train.py:52-80)."""
+    from captra_tpu.cli import train as train_cli
+    from tests.test_data import _write_fake_nocs
+
+    root = str(tmp_path / "data")
+    # real_test last: _write_fake_nocs always writes under render/real_test
+    # and the other modes are produced by renaming it away
+    for mode in ("train", "val", "real_test"):
+        _write_fake_nocs(root, instances=("insA",), tracks=1, frames=4,
+                         n=300, seed=hash(mode) % 1000)
+        if mode != "real_test":
+            os.rename(pjoin(root, "render", "real_test"),
+                      pjoin(root, "render", mode))
+
+    exp = str(tmp_path / "exp")
+    train_cli.main([
+        "--config_dir", config_dir, "--config", "config_coordnet.yml",
+        "--obj_config", "obj_info_nocs.yml", "--obj_category", "1",
+        "--basepath", root, "--experiment_dir", exp,
+        "--pointnet_cfg/camera", "pointnet2_tiny.yml",
+        "--network/backbone_out_dim", "32", "--num_points", "128",
+        "--batch_size", "2", "--total_epoch", "1", "--use_val", "val",
+    ])
+    log = open(pjoin(exp, "log", "log.txt")).read()
+    assert "Test epoch 0" in log and "val epoch 0" in log
