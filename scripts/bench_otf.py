@@ -45,9 +45,30 @@ def make_depth_frames(T: int, B: int, H: int = 480, W: int = 640, seed=0):
     return jnp.asarray(depths), jnp.asarray(masks)
 
 
+def make_det_frames(depths, masks, K: int = 8):
+    """Detection-result frames for the mask-free path: per frame, det 0 is
+    the object blob (bit-packed like data/nocs.py:_pre_fetch_dets)."""
+    T, B, H, W = depths.shape
+    m = np.asarray(masks)
+    packed = np.packbits(m, axis=-1, bitorder="little")      # [T, B, H, W8]
+    det_masks = np.zeros((T, B, K) + packed.shape[-2:], np.uint8)
+    det_masks[:, :, 0] = packed
+    det_boxes = np.zeros((T, B, K, 4), np.float32)
+    for t in range(T):
+        for b in range(B):
+            ys, xs = np.nonzero(m[t, b])
+            det_boxes[t, b, 0] = (ys.min(), xs.min(), ys.max(), xs.max())
+    det_valid = np.zeros((T, B, K), bool)
+    det_valid[:, :, 0] = True
+    import jax.numpy as jnp
+    return {"det_masks": jnp.asarray(det_masks),
+            "det_boxes": jnp.asarray(det_boxes),
+            "det_valid": jnp.asarray(det_valid)}
+
+
 def measure_otf(batches, num_frames: int = 100, fps_mode: str = "exact",
                 work_factor: int = 5, dtype: str | None = None,
-                log=print) -> dict:
+                nocs2d: bool = False, log=print) -> dict:
     """Run the OTF protocol for each batch size; returns {B: frames/sec}.
 
     num_frames defaults to 100 — the reference's own trajectory length
@@ -70,6 +91,8 @@ def measure_otf(batches, num_frames: int = 100, fps_mode: str = "exact",
         "init_frame/gt": True, "nocs_otf": True,
         "track_cfg/otf_fps_mode": fps_mode,
         "track_cfg/otf_work_factor": work_factor,
+        "track_cfg/nocs2d_label": nocs2d,
+        "track_cfg/nocs2d_path": "bench" if nocs2d else "",
         "network/fps_mode": fps_mode,
         "network/compute_dtype": dtype or os.environ.get(
             "CAPTRA_BENCH_DTYPE", "bfloat16"),
@@ -101,6 +124,8 @@ def measure_otf(batches, num_frames: int = 100, fps_mode: str = "exact",
                 scale=jnp.full((B, P), 0.3))
             frames = {"depth": depths, "mask": masks,
                       "key": jnp.arange(T, dtype=jnp.int32)}
+            if nocs2d:
+                frames.update(make_det_frames(depths, masks))
             t0 = time.time()
             out = run(init_pose, frames)
             jax.block_until_ready(out)
@@ -132,10 +157,14 @@ def main():
                     choices=["exact", "grouped"])
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--nocs2d", action="store_true", default=False,
+                    help="mask-free path: in-graph NOCS-2D detection "
+                         "selection from bit-packed per-frame results")
     args = ap.parse_args()
     measure_otf([int(b) for b in args.batches.split(",")],
                 num_frames=args.frames, fps_mode=args.fps_mode,
-                work_factor=args.work_factor, dtype=args.dtype)
+                work_factor=args.work_factor, dtype=args.dtype,
+                nocs2d=args.nocs2d)
 
 
 if __name__ == "__main__":
