@@ -28,7 +28,11 @@ def syn_stream(dataset, batch_size: int, consumed: int):
     keeps one iterator across epochs), fast-forwardable: `consumed` batches
     are skipped at the index level (no disk reads) so a resumed run
     continues the stream where an uninterrupted one would be."""
-    per = max(1, len(dataset) // batch_size)
+    if len(dataset) < batch_size:
+        raise ValueError(
+            f"synthetic split has {len(dataset)} frames < batch_size "
+            f"{batch_size}: every epoch would yield zero batches")
+    per = len(dataset) // batch_size
     seed = consumed // per
     start = consumed % per
     while True:

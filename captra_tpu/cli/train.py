@@ -53,7 +53,7 @@ def synthetic_epoch(cfg, epoch: int, steps: int = 50):
                                num_points=cfg.num_points)
 
 
-def device_aug_epoch(cfg, sampler, epoch: int, steps: int):
+def device_aug_epoch(sampler, epoch: int, steps: int):
     """Device-side augmented epoch: every step draws a fresh random pose
     over the HBM-resident geometry pool (data/synthetic.py
     device_pose_batch) — no host generation, no per-step H2D traffic."""
@@ -86,9 +86,15 @@ def main(argv=None):
     enable_compile_cache()
     parser = add_args(argparse.ArgumentParser("captra-tpu train"))
     args = parser.parse_args(argv)
+    if args.device_aug and not args.synthetic_data:
+        raise SystemExit("--device_aug resamples poses over generated "
+                         "geometry and requires --synthetic_data")
     cfg = get_config(args.config, config_overrides(args), args.config_dir)
     logger = setup_logger(cfg.experiment_dir, "train")
     logger.info("config: %s", cfg)
+    if args.use_val and args.synthetic_data:
+        logger.info("--use_val is ignored with --synthetic_data "
+                    "(no disk splits)")
 
     # mesh size must divide the global batch
     n_dev = args.num_devices or len(jax.devices())
@@ -164,16 +170,13 @@ def main(argv=None):
                         sums[k] / max(count, 1))
         return count
 
-    if args.device_aug and not args.synthetic_data:
-        raise SystemExit("--device_aug resamples poses over generated "
-                         "geometry and requires --synthetic_data")
     sampler = (make_device_aug_sampler(cfg, args.geom_pool)
                if args.device_aug else None)
 
     for epoch in range(start_epoch, cfg.optim.total_epoch):
         trainer.set_epoch(epoch)
         if sampler is not None:
-            batches = device_aug_epoch(cfg, sampler, epoch, steps_per_epoch)
+            batches = device_aug_epoch(sampler, epoch, steps_per_epoch)
         elif args.synthetic_data:
             batches = synthetic_epoch(cfg, epoch, steps_per_epoch)
         else:

@@ -105,7 +105,7 @@ class NOCSDataset:
                  mode: str = "train", truncate_length: int | None = None,
                  radius: float = 0.6, perturb: PerturbCfg | None = None,
                  downsampling: int | None = None, seed: int = 0,
-                 nocs2d_path: str | None = None, max_dets: int = 8):
+                 nocs2d_path: str | None = None, max_dets: int = 16):
         self.root_dset = root_dset
         self.obj_category = obj_category
         self.obj_cfg = obj_cfg
@@ -231,7 +231,13 @@ class NOCSDataset:
         result = load_nocs2d_result(self.nocs2d_path, depth_path)
         if result is not None:
             cls = np.asarray(result["pred_class_ids"])
-            sel = np.where(cls == int(self.obj_category))[0][:K]
+            sel_all = np.where(cls == int(self.obj_category))[0]
+            if len(sel_all) > K:
+                # reference considers every same-class detection; a frame
+                # exceeding the fixed budget is worth knowing about
+                print(f"nocs2d: {len(sel_all)} same-class detections in "
+                      f"{depth_path}, keeping first {K}")
+            sel = sel_all[:K]
             n = len(sel)
             if n:
                 pm = np.moveaxis(np.asarray(result["pred_masks"]),

@@ -131,10 +131,14 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                                        frame["det_valid"], center, radius,
                                        frame["mask"])
             else:
+                # detection-miss frame with no instance mask at all: an
+                # all-ones mask keeps every cropped point labeled object
+                # (an all-zero selection would label everything background
+                # and degenerate the s/t fit for the rest of the scan)
                 def pick_best(masks, boxes, valid, c, r):
-                    m, _ = select_detection_mask(
+                    m, found = select_detection_mask(
                         masks, boxes, valid, c, r, K, image_hw)
-                    return m
+                    return jnp.where(found, m, jnp.ones_like(m))
 
                 masks = jax.vmap(pick_best)(det_masks, frame["det_boxes"],
                                             frame["det_valid"], center,

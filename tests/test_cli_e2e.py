@@ -204,9 +204,9 @@ def test_train_use_val_split(config_dir, tmp_path):
     root = str(tmp_path / "data")
     # real_test last: _write_fake_nocs always writes under render/real_test
     # and the other modes are produced by renaming it away
-    for mode in ("train", "val", "real_test"):
+    for mi, mode in enumerate(("train", "val", "real_test")):
         _write_fake_nocs(root, instances=("insA",), tracks=1, frames=4,
-                         n=300, seed=hash(mode) % 1000)
+                         n=300, seed=mi)
         if mode != "real_test":
             os.rename(pjoin(root, "render", "real_test"),
                       pjoin(root, "render", mode))

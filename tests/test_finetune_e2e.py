@@ -15,7 +15,7 @@ def test_finetune_pipeline(config_dir, tmp_path):  # noqa: F811
     # synthetic CAMERA split ('train') + real split ('real_train')
     for mode, tracks in (("train", 1), ("real_train", 1)):
         _write_fake_nocs(root, instances=("insA",), tracks=tracks, frames=4,
-                         n=300, seed=hash(mode) % 1000)
+                         n=300, seed=1)
         # _write_fake_nocs writes under real_test; move to the right split
         src = pjoin(root, "render", "real_test")
         dst = pjoin(root, "render", mode)

@@ -213,9 +213,9 @@ def test_nocs2d_dataset_prefetch(tmp_path):
     item = ds[0]
     pre = item["meta"]["pre_fetched"]
     # masks are bit-packed along W (8x memory), same-class dets only
-    assert pre["det_masks"].shape == (8, H, W // 8)
+    assert pre["det_masks"].shape == (16, H, W // 8)
     assert pre["det_masks"].dtype == np.uint8
-    assert pre["det_boxes"].shape == (8, 4)
+    assert pre["det_boxes"].shape == (16, 4)
     # the wrong-class detection is filtered out host-side; the single
     # same-class detection lands in slot 0
     assert pre["det_valid"].sum() == 1 and pre["det_valid"][0]
@@ -225,12 +225,12 @@ def test_nocs2d_dataset_prefetch(tmp_path):
     from captra_tpu.data.preprocess import unpack_detection_masks
     unpacked = np.asarray(unpack_detection_masks(
         jnp.asarray(pre["det_masks"]), (H, W)))
-    assert unpacked.shape == (8, H, W)
+    assert unpacked.shape == (16, H, W)
     assert unpacked[0].sum() == 12 * 12  # the detector blob
     # collation ships the packed det arrays
     _, batch = next(iter(sequence_batches(ds)))
-    assert batch["det_masks"].shape == (3, 1, 8, H, W // 8)
-    assert batch["det_valid"].shape == (3, 1, 8)
+    assert batch["det_masks"].shape == (3, 1, 16, H, W // 8)
+    assert batch["det_valid"].shape == (3, 1, 16)
 
 
 def test_nocs2d_mask_free_tracking(tmp_path):
