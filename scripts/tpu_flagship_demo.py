@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--distinct_batches", type=int, default=157,
                     help="size of the cycled synthetic-batch pool "
                          "(training-data diversity knob)")
+    ap.add_argument("--rot_perturb_r", type=float, default=None,
+                    help="override pose_perturb/r (deg) for RotationNet "
+                         "training only: match the delta-supervision scale "
+                         "to the ~1-2 deg per-frame deltas tracking "
+                         "actually sees, instead of the 5 deg init-noise "
+                         "scale")
     ap.add_argument("--device_aug", action="store_true", default=False,
                     help="device-side pose resampling: every step draws a "
                          "fresh random pose over an HBM-resident geometry "
@@ -83,6 +89,8 @@ def main():
             overrides["grad_clip"] = args.grad_clip
         if args.norm is not None:
             overrides["network/norm"] = args.norm
+        if args.rot_perturb_r is not None and net_type == "rot":
+            overrides["pose_perturb/r"] = args.rot_perturb_r
         cfg = get_config(config, overrides=overrides)
         trainer = Trainer(cfg, steps_per_epoch=200)
         batch0 = make_frame_batch(0, cfg.obj, batch=args.batch,
