@@ -154,11 +154,16 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
             fps_mode=cfg.track.otf_fps_mode)
         labels = 1 - jnp.take_along_axis(
             masks.reshape(masks.shape[0], -1), idx, axis=1).astype(jnp.int32)
-        return jnp.swapaxes(points3, -1, -2), labels
+        # total sensor dropout (no valid depth anywhere): the "crop" is
+        # garbage and an unguarded s/t fit collapses scale to 0 -> NaN for
+        # the rest of the scan; the step freezes the carried pose instead
+        frame_ok = jnp.any(valid, axis=-1)                # [B]
+        return jnp.swapaxes(points3, -1, -2), labels, frame_ok
 
     def step(pose: Pose, frame: dict):
+        frame_ok = None
         if cfg.track.nocs_otf:
-            points_raw, otf_labels = otf_points(pose, frame)
+            points_raw, otf_labels, frame_ok = otf_points(pose, frame)
             frame = dict(frame)
             frame["points"] = points_raw
             frame["labels"] = otf_labels
@@ -197,6 +202,16 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                                       points, points_mean,
                                       num_parts=obj.num_parts, sym=obj.sym,
                                       scale_clamp=cfg.track.scale_clamp)
+        if frame_ok is not None:
+            # dead frame: carry the previous pose through unchanged
+            def sel(n, o):
+                shape = (frame_ok.shape[0],) + (1,) * (n.ndim - 1)
+                return jnp.where(frame_ok.reshape(shape), n, o)
+
+            new_pose = Pose(rotation=sel(new_pose.rotation, pose.rotation),
+                            translation=sel(new_pose.translation,
+                                            pose.translation),
+                            scale=sel(new_pose.scale, pose.scale))
         return new_pose, TrackAux(pose=new_pose, pred_labels=pred_labels,
                                   seg=seg, nocs=nocs)
 
