@@ -135,8 +135,12 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
     merged = merge_delta_pose(state, delta_rotation=delta_rotation)
     cam = (points + points_mean[:, None])[:, None]  # [B, 1, N, 3]
     cam = jnp.broadcast_to(cam, pred_nocs.shape)
+    # min_scale: a ~zero fitted scale (near-total sensor dropout) must take
+    # the previous-pose fallback, not poison the recurrence — tracking-only
+    # deviation, see pose_fit.filter_valid
     fitted, valid = part_fit_st(labels, pred_nocs, cam, merged.rotation,
-                                num_parts=num_parts, sym=sym)
+                                num_parts=num_parts, sym=sym,
+                                min_scale=1e-4)
     vf = valid.astype(jnp.float32)
     fitted_scale = fitted.scale
     if scale_clamp > 0.0:

@@ -28,10 +28,21 @@ def labels_to_part_mask(labels: jnp.ndarray, num_parts: int,
     return mask.astype(jnp.float32)
 
 
-def filter_valid(pose: Pose, valid: jnp.ndarray) -> jnp.ndarray:
+def filter_valid(pose: Pose, valid: jnp.ndarray,
+                 min_scale: float | None = None) -> jnp.ndarray:
     """AND `valid` with finiteness of every pose component (reference
-    filter_model_valid, pose_fit.py:26-35)."""
+    filter_model_valid, pose_fit.py:26-35) and, when `min_scale` is given,
+    with scale > min_scale.
+
+    The scale floor is a tracking-only DEVIATION (the reference — and the
+    default here — checks only finiteness): a ~zero fitted scale is always
+    a degenerate fit (NOCS shapes have unit extent) and, once carried into
+    the tracking recurrence, divides the next frame's canonicalization to
+    inf — observed with a near-total sensor-dropout frame whose few stray
+    returns collapse to one point.  compose_track_pose enables it."""
     valid = valid & jnp.isfinite(pose.scale)
+    if min_scale is not None:
+        valid = valid & (pose.scale > min_scale)
     valid = valid & jnp.all(jnp.isfinite(pose.translation), axis=(-1, -2))
     valid = valid & jnp.all(jnp.isfinite(pose.rotation), axis=(-1, -2))
     return valid
@@ -41,13 +52,15 @@ def filter_valid(pose: Pose, valid: jnp.ndarray) -> jnp.ndarray:
 def part_fit_st(labels: jnp.ndarray, source: jnp.ndarray,
                 target: jnp.ndarray, rotation: jnp.ndarray,
                 num_parts: int, sym: bool,
-                given_scale: jnp.ndarray | None = None):
+                given_scale: jnp.ndarray | None = None,
+                min_scale: float | None = None):
     """Fit per-part scale + translation given rotation.
 
     labels [B, N]; source (pred NPCS per part) [B, P, N, 3]; target (camera
     points) [B, P, N, 3]; rotation [B, P, 3, 3].  Returns (Pose [B, P],
     valid [B, P] bool) — valid requires > 3 in-part points and finite fit
-    (reference part_fit_st_no_ransac, pose_fit.py:38-53)."""
+    (reference part_fit_st_no_ransac, pose_fit.py:38-53; see filter_valid
+    for the optional tracking-only min_scale floor)."""
     mask = labels_to_part_mask(labels, num_parts)  # [B, P, N]
     valid = jnp.sum(mask, axis=-1) > 3
 
@@ -57,4 +70,4 @@ def part_fit_st(labels: jnp.ndarray, source: jnp.ndarray,
     # The sym-refined rotation is used only for the s/t fit; the returned pose
     # keeps the given rotation (reference pose_fit.py:48-50 discards it too).
     pose = Pose(rotation=rotation, translation=translation, scale=scale)
-    return pose, filter_valid(pose, valid)
+    return pose, filter_valid(pose, valid, min_scale=min_scale)

@@ -203,15 +203,14 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                                       num_parts=obj.num_parts, sym=obj.sym,
                                       scale_clamp=cfg.track.scale_clamp)
         if frame_ok is not None:
-            # dead frame: carry the previous pose through unchanged
+            # dead frame: carry the previous pose through unchanged (the
+            # per-part fit-validity fallback covers degenerate fits, this
+            # covers the frame having no data at all)
             def sel(n, o):
                 shape = (frame_ok.shape[0],) + (1,) * (n.ndim - 1)
                 return jnp.where(frame_ok.reshape(shape), n, o)
 
-            new_pose = Pose(rotation=sel(new_pose.rotation, pose.rotation),
-                            translation=sel(new_pose.translation,
-                                            pose.translation),
-                            scale=sel(new_pose.scale, pose.scale))
+            new_pose = jax.tree.map(sel, new_pose, pose)
         return new_pose, TrackAux(pose=new_pose, pred_labels=pred_labels,
                                   seg=seg, nocs=nocs)
 
