@@ -156,6 +156,7 @@ def get_config(config: str = "config_track.yml",
                              ("exact", "grouped"),
                              "track_cfg/otf_fps_mode"),
         scale_clamp=float(tc.get("scale_clamp", 0.0)),
+        conf_weighted_delta=bool(tc.get("conf_weighted_delta", False)),
     )
 
     optim = OptimCfg(

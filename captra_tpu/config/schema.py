@@ -123,6 +123,10 @@ class TrackCfg:
     # num_points/8 sequential picks (the exact single-cloud kernel is
     # latency-bound at ~0.5us/pick) — see ops.farthest_point_sample_grouped_t
     otf_fps_mode: str = "exact"
+    # re-aggregate the rotation delta from the per-point predictions
+    # weighted by seg confidence instead of the net's uniform masked mean
+    # (deviation; the reference aggregates uniformly, networks.py:127-138)
+    conf_weighted_delta: bool = False
 
 
 @dataclass(frozen=True)

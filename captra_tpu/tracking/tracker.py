@@ -193,6 +193,24 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
         # RotationNet in each part's previous frame (model.py:454-476)
         canon_parts = canonicalize_per_part(points, points_mean, pose)
         rot_out = rot_fn(canon_parts, labels)
+        if cfg.track.conf_weighted_delta:
+            # DEVIATION (opt-in): re-aggregate the per-point rotation reps
+            # weighted by each point's seg confidence for its assigned
+            # label, instead of the net's uniform masked mean
+            # (reference networks.py:127-138 weights uniformly)
+            from captra_tpu.pose.pose_fit import labels_to_part_mask
+            prob = jnp.take_along_axis(seg, labels[..., None],
+                                       axis=-1)[..., 0]        # [B, N]
+            pmask = labels_to_part_mask(labels, obj.num_parts)  # [B, P, N]
+            w = pmask * prob[:, None]
+            denom = jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1e-6, None)
+            rt = jnp.sum(rot_out["point_rtvec"] * w[..., None],
+                         axis=-2) / denom
+            default = (jnp.asarray([0.0, 1.0, 0.0]) if obj.sym
+                       else jnp.eye(3).reshape(9))
+            has_pts = jnp.sum(pmask, axis=-1, keepdims=True) > 0
+            rot_out = dict(rot_out)
+            rot_out["rtvec"] = jnp.where(has_pts, rt, default)
         delta, _ = decode_rotation(rot_out, obj.sym)
 
         B, N = labels.shape

@@ -164,3 +164,64 @@ def test_init_pose_noise(key, rng):
     same = init_pose_from_gt(key, gt, cfg_gt)
     np.testing.assert_allclose(np.asarray(same.rotation),
                                np.asarray(gt.rotation))
+
+
+def test_conf_weighted_delta_downweights_uncertain_points(key):
+    """track_cfg/conf_weighted_delta: per-point rotation predictions are
+    re-aggregated with seg-confidence weights — a low-confidence point's
+    (wrong) prediction must pull the delta less than under the reference's
+    uniform masked mean."""
+    import numpy as np
+
+    from captra_tpu.config.schema import TrackCfg
+    from captra_tpu.pose.rotations import axis_theta_to_matrix
+
+    obj = rigid_obj()
+    N = 64
+    base = tiny_config().replace(obj=obj, num_points=N)
+    wrong_R = np.asarray(axis_theta_to_matrix(
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray(0.5)))  # 28.6 deg off
+
+    tr = make_trajectory(seed=0, obj=obj, num_frames=3, num_points=N)
+    batch = batch_trajectories([tr])
+    init = batch["pose"].map(lambda x: x[0])
+    frames = {"points": batch["points"]}
+    # correct per-point prediction = the true frame-0 -> frame-1 delta in
+    # the canonical frame (R_0^T R_1); only point 0 predicts wrong_R
+    R0 = np.asarray(batch["pose"].rotation[0, 0, 0])
+    R1 = np.asarray(batch["pose"].rotation[1, 0, 0])
+    gt_R = (R0.T @ R1).astype(np.float32)
+
+    def coord_fn(canon_pts):
+        B = canon_pts.shape[0]
+        # point 0: confident prediction is WRONG rotation; give it low
+        # seg confidence; all other points confident + correct
+        seg = jnp.full((B, N, 1), 0.99).at[:, 0, 0].set(0.01)
+        return {"seg": seg, "nocs": canon_pts}
+
+    def rot_fn(parts, labels):
+        B, P = parts.shape[0], parts.shape[1]
+        pr = jnp.broadcast_to(jnp.asarray(gt_R).reshape(9), (B, P, N, 9))
+        pr = pr.at[:, :, 0].set(jnp.asarray(wrong_R).reshape(9))
+        mean = jnp.mean(pr, axis=-2)
+        return {"rtvec": mean, "point_rtvec": pr}
+
+    def run(conf):
+        cfg = base.replace(track=TrackCfg(init_frame_gt=True,
+                                          conf_weighted_delta=conf))
+        step = make_track_step(cfg, coord_fn, rot_fn)
+        _, aux = jax.jit(
+            lambda ip, fr: track_trajectory(step, ip, fr))(init, frames)
+        return np.asarray(aux.pose.rotation)[0, 0, 0]
+
+    gt_next = np.asarray(batch["pose"].rotation[1, 0, 0])
+
+    def angle_to_gt(R):
+        c = (np.trace(gt_next.T @ R) - 1) / 2
+        return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+    err_uniform = angle_to_gt(run(False))
+    err_conf = angle_to_gt(run(True))
+    # uniform mean absorbs the wrong point fully; confidence weighting
+    # suppresses it ~99x
+    assert err_conf < err_uniform * 0.2, (err_uniform, err_conf)
