@@ -203,14 +203,15 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                                        axis=-1)[..., 0]        # [B, N]
             pmask = labels_to_part_mask(labels, obj.num_parts)  # [B, P, N]
             w = pmask * prob[:, None]
-            denom = jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1e-6, None)
+            w_sum = jnp.sum(w, axis=-1, keepdims=True)
             rt = jnp.sum(rot_out["point_rtvec"] * w[..., None],
-                         axis=-2) / denom
-            default = (jnp.asarray([0.0, 1.0, 0.0]) if obj.sym
-                       else jnp.eye(3).reshape(9))
-            has_pts = jnp.sum(pmask, axis=-1, keepdims=True) > 0
+                         axis=-2) / jnp.clip(w_sum, 1e-6, None)
+            # zero total weight (empty part OR all-zero confidence): keep
+            # the net's own rtvec, which already carries the empty-part
+            # default (rotnet.py:84-91) — no duplicated default here, and
+            # a 0/eps degenerate rep can never enter the composition
             rot_out = dict(rot_out)
-            rot_out["rtvec"] = jnp.where(has_pts, rt, default)
+            rot_out["rtvec"] = jnp.where(w_sum > 0, rt, rot_out["rtvec"])
         delta, _ = decode_rotation(rot_out, obj.sym)
 
         B, N = labels.shape

@@ -170,7 +170,13 @@ def test_conf_weighted_delta_downweights_uncertain_points(key):
     """track_cfg/conf_weighted_delta: per-point rotation predictions are
     re-aggregated with seg-confidence weights — a low-confidence point's
     (wrong) prediction must pull the delta less than under the reference's
-    uniform masked mean."""
+    uniform masked mean.
+
+    The crafted 0.01-confidence point models the MASK-label regimes
+    (gt_label / nocs2d_label), where the assigned label can carry an
+    arbitrarily low seg probability; under argmax pred-labels the
+    per-point confidence is bounded below by 1/num_seg, so the suppression
+    ratio there is at most ~num_seg."""
     import numpy as np
 
     from captra_tpu.config.schema import TrackCfg
