@@ -40,16 +40,22 @@ class Trajectory:
 
 def _part_shell(rng: np.random.RandomState, n: int, size: np.ndarray):
     """Points on the surface of a box of half-extent `size` (so rotation is
-    observable, unlike a solid Gaussian blob)."""
+    observable, unlike a solid Gaussian blob).
+
+    Vectorized but BIT-IDENTICAL to the original per-point loop (same RNG
+    draws, same uv-to-axis assignment) — the loop dominated host batch
+    generation for multi-part categories (~90 ms/step amortized)."""
     face = rng.randint(0, 6, n)
     uv = rng.uniform(-1, 1, (n, 2))
     pts = np.zeros((n, 3), np.float32)
     axis, sign = face % 3, (face // 3) * 2 - 1
-    for i in range(n):
-        a = axis[i]
-        others = [d for d in range(3) if d != a]
-        pts[i, a] = sign[i]
-        pts[i, others[0]], pts[i, others[1]] = uv[i]
+    rows = np.arange(n)
+    # the loop's `others` for a: 0->(1,2), 1->(0,2), 2->(0,1)
+    first = np.where(axis == 0, 1, 0)
+    second = np.where(axis == 2, 1, 2)
+    pts[rows, axis] = sign
+    pts[rows, first] = uv[:, 0]
+    pts[rows, second] = uv[:, 1]
     return pts * size
 
 
