@@ -1,0 +1,108 @@
+"""Track the synthetic eval set with trained checkpoints under arbitrary
+track flags — the quality-experiment harness behind the EVIDENCE.md round-3
+tables (budget trend, device-aug, conf-weighted delta).
+
+Usage:
+  python scripts/eval_checkpoint_track.py \
+      --coord runs/trend_bottle_aug/canon_coord/ckpt/model_0000 \
+      --rot   runs/trend_bottle_aug/rot/ckpt/model_0000 \
+      [--category 1 --obj_config obj_info_nocs.yml] \
+      [--trajs 8 --frames 20] [--conf_weighted_delta] [--scale_clamp 0.0]
+
+Prints frame-1 and full-scan metrics (rdiff/tdiff/sdiff/5deg5cm/10deg10cm)
+plus the frozen-init baseline.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coord", required=True,
+                    help="CoordNet checkpoint path (training.checkpoint)")
+    ap.add_argument("--rot", required=True, help="RotationNet checkpoint")
+    ap.add_argument("--obj_config", default="obj_info_nocs.yml")
+    ap.add_argument("--category", default="1")
+    ap.add_argument("--trajs", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--norm", default="gn", choices=["bn", "gn"])
+    ap.add_argument("--conf_weighted_delta", action="store_true")
+    ap.add_argument("--scale_clamp", type=float, default=0.0)
+    ap.add_argument("--init_noise", action="store_true",
+                    help="perturb the frame-0 pose (reference protocol "
+                         "init_frame/gt=False) instead of GT init")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from captra_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    from captra_tpu.config import get_config
+    from captra_tpu.data.synthetic import batch_trajectories, make_trajectory
+    from captra_tpu.models.coordnet import CoordNet
+    from captra_tpu.models.rotnet import RotNet
+    from captra_tpu.pose.part_dof import Pose
+    from captra_tpu.tracking.tracker import (
+        evaluate_track, init_pose_from_gt, make_track_step, track_trajectory,
+    )
+    from captra_tpu.training import checkpoint as ckpt
+
+    def vars_of(path):
+        p = ckpt.load_checkpoint(path)
+        return {"params": jax.tree.map(jnp.asarray, p["params"]),
+                "batch_stats": jax.tree.map(jnp.asarray, p["batch_stats"])}
+
+    cv, rv = vars_of(args.coord), vars_of(args.rot)
+    cfg = get_config("config_track.yml", overrides={
+        "obj_config": args.obj_config, "obj_category": args.category,
+        "init_frame/gt": not args.init_noise,
+        "network/compute_dtype": args.dtype, "network/norm": args.norm,
+        "track_cfg/conf_weighted_delta": args.conf_weighted_delta,
+        "track_cfg/scale_clamp": args.scale_clamp,
+    })
+
+    T, B = args.frames, args.trajs
+    trajs = [make_trajectory(seed=1000 + s, obj=cfg.obj, num_frames=T,
+                             num_points=cfg.num_points) for s in range(B)]
+    data = batch_trajectories(trajs)
+    gt = data["pose"]
+    init_pose = init_pose_from_gt(jax.random.PRNGKey(0), gt.map(
+        lambda x: x[0]), cfg)
+    gt_rest = gt.map(lambda x: x[1:])
+
+    coord, rotn = CoordNet(cfg), RotNet(cfg)
+
+    def track_fn(cv, rv, ip, frames):
+        step = make_track_step(
+            cfg, lambda p: coord.apply(cv, p, train=False),
+            lambda p, l: rotn.apply(rv, p, l, train=False))
+        return track_trajectory(step, ip, frames)
+
+    run = jax.jit(track_fn)
+    t0 = time.time()
+    _, aux = run(cv, rv, init_pose, {"points": data["points"]})
+    jax.block_until_ready(aux.pose.scale)
+    errs = evaluate_track(aux.pose, gt_rest, sym=cfg.obj.sym)
+    f1 = {k: float(jnp.mean(v[0])) for k, v in errs.items()}
+    full = {k: float(jnp.mean(v)) for k, v in errs.items()}
+    frozen = Pose(rotation=jnp.repeat(gt.rotation[:1], T - 1, 0),
+                  translation=jnp.repeat(gt.translation[:1], T - 1, 0),
+                  scale=jnp.repeat(gt.scale[:1], T - 1, 0))
+    fr = {k: float(jnp.mean(v)) for k, v in
+          evaluate_track(frozen, gt_rest, sym=cfg.obj.sym).items()}
+    print(f"({time.time() - t0:.0f}s incl. compile)")
+    print("frame-1    ", {k: round(v, 4) for k, v in f1.items()})
+    print("full-scan  ", {k: round(v, 4) for k, v in full.items()})
+    print("frozen-init", {k: round(v, 4) for k, v in fr.items()})
+
+
+if __name__ == "__main__":
+    main()
