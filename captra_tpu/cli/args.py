@@ -76,6 +76,16 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--track_cfg/gt_label", type=boolean_string, default=None)
     a("--track_cfg/nocs2d_label", type=boolean_string, default=None)
     a("--track_cfg/nocs2d_path", type=str, default=None)
+    a("--track_cfg/otf_fps_mode", type=str, default=None,
+      choices=[None, "exact", "grouped"])
+    a("--track_cfg/otf_work_factor", type=int, default=None)
+    a("--track_cfg/scale_clamp", type=float, default=None)
+    a("--track_cfg/conf_weighted_delta", type=boolean_string, default=None)
+    a("--track_cfg/refine_iters", type=int, default=None,
+      help="extra per-frame refinement passes (>1 is a deviation; "
+           "mode set by --track_cfg/refine_mode)")
+    a("--track_cfg/refine_mode", type=str, default=None,
+      choices=[None, "forward", "debias"])
 
     a("--num_devices", type=int, default=None,
       help="restrict the data-parallel mesh to this many devices")

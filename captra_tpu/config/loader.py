@@ -157,6 +157,10 @@ def get_config(config: str = "config_track.yml",
                              "track_cfg/otf_fps_mode"),
         scale_clamp=float(tc.get("scale_clamp", 0.0)),
         conf_weighted_delta=bool(tc.get("conf_weighted_delta", False)),
+        refine_iters=int(tc.get("refine_iters", 1)),
+        refine_mode=_choice(tc.get("refine_mode", "debias"),
+                            ("forward", "debias"),
+                            "track_cfg/refine_mode"),
     )
 
     optim = OptimCfg(

@@ -127,6 +127,16 @@ class TrackCfg:
     # weighted by seg confidence instead of the net's uniform masked mean
     # (deviation; the reference aggregates uniformly, networks.py:127-138)
     conf_weighted_delta: bool = False
+    # > 1 runs extra per-frame {canonicalize -> nets -> compose} passes
+    # from the just-fitted pose (deviation; the reference runs exactly one
+    # pass per frame, model.py:454-476); each extra pass costs one more
+    # full net evaluation per frame
+    refine_iters: int = 1
+    # "forward": classic iterative refinement (compose the re-predicted
+    # delta); "debias": compose its INVERSE — the residual measured at the
+    # fitted pose estimates the predictor's local bias, the dominant term
+    # in the measured full-scan drift (EVIDENCE.md round-3)
+    refine_mode: str = "debias"
 
 
 @dataclass(frozen=True)

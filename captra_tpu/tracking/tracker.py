@@ -160,18 +160,13 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
         frame_ok = jnp.any(valid, axis=-1)                # [B]
         return jnp.swapaxes(points3, -1, -2), labels, frame_ok
 
-    def step(pose: Pose, frame: dict):
-        frame_ok = None
-        if cfg.track.nocs_otf:
-            points_raw, otf_labels, frame_ok = otf_points(pose, frame)
-            frame = dict(frame)
-            frame["points"] = points_raw
-            frame["labels"] = otf_labels
-        else:
-            points_raw = frame["points"]
-        points_mean = jnp.mean(points_raw, axis=1)       # [B, 3]
-        points = points_raw - points_mean[:, None]
-
+    def predict_compose(pose: Pose, points, points_mean, frame: dict,
+                        invert_delta: bool = False):
+        """One {canonicalize -> CoordNet -> RotationNet -> compose+fit}
+        pass from `pose` (the body of the reference's per-frame inference,
+        model.py:454-476).  With invert_delta the TRANSPOSE of the decoded
+        rotation delta is composed instead — used by the debias refinement
+        mode (see step)."""
         # CoordNet in the root part's previous frame (model.py:457-463)
         root_pose = Pose(rotation=pose.rotation[:, root],
                          translation=pose.translation[:, root],
@@ -213,6 +208,8 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
             rot_out = dict(rot_out)
             rot_out["rtvec"] = jnp.where(w_sum > 0, rt, rot_out["rtvec"])
         delta, _ = decode_rotation(rot_out, obj.sym)
+        if invert_delta:
+            delta = jnp.swapaxes(delta, -1, -2)
 
         B, N = labels.shape
         pred_npcs = jnp.moveaxis(
@@ -221,6 +218,36 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                                       points, points_mean,
                                       num_parts=obj.num_parts, sym=obj.sym,
                                       scale_clamp=cfg.track.scale_clamp)
+        return new_pose, TrackAux(pose=new_pose, pred_labels=pred_labels,
+                                  seg=seg, nocs=nocs)
+
+    def step(pose: Pose, frame: dict):
+        frame_ok = None
+        if cfg.track.nocs_otf:
+            points_raw, otf_labels, frame_ok = otf_points(pose, frame)
+            frame = dict(frame)
+            frame["points"] = points_raw
+            frame["labels"] = otf_labels
+        else:
+            points_raw = frame["points"]
+        points_mean = jnp.mean(points_raw, axis=1)       # [B, 3]
+        points = points_raw - points_mean[:, None]
+
+        new_pose, aux = predict_compose(pose, points, points_mean, frame)
+        # DEVIATION (opt-in, reference runs exactly one pass per frame):
+        # extra refinement passes re-canonicalize by the just-fitted pose
+        # and re-run both nets.  mode "forward" composes the new delta as
+        # usual (classic iterative refinement); mode "debias" composes its
+        # INVERSE: at a correct pose a perfect predictor outputs identity,
+        # so the residual delta measured *at the fitted pose* estimates the
+        # net's local bias — the dominant term in the measured full-scan
+        # drift (~0.6 deg/frame correlated bias, EVIDENCE.md round-3) —
+        # and subtracting it cancels bias that forward refinement would
+        # double.  s/t are refit from the fresh NPCS either way.
+        for _ in range(max(cfg.track.refine_iters, 1) - 1):
+            new_pose, aux = predict_compose(
+                new_pose, points, points_mean, frame,
+                invert_delta=(cfg.track.refine_mode == "debias"))
         if frame_ok is not None:
             # dead frame: carry the previous pose through unchanged (the
             # per-part fit-validity fallback covers degenerate fits, this
@@ -230,8 +257,9 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                 return jnp.where(frame_ok.reshape(shape), n, o)
 
             new_pose = jax.tree.map(sel, new_pose, pose)
-        return new_pose, TrackAux(pose=new_pose, pred_labels=pred_labels,
-                                  seg=seg, nocs=nocs)
+            aux = TrackAux(pose=new_pose, pred_labels=aux.pred_labels,
+                           seg=aux.seg, nocs=aux.nocs)
+        return new_pose, aux
 
     return step
 

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--norm", default="gn", choices=["bn", "gn"])
     ap.add_argument("--conf_weighted_delta", action="store_true")
     ap.add_argument("--scale_clamp", type=float, default=0.0)
+    ap.add_argument("--refine_iters", type=int, default=1)
+    ap.add_argument("--refine_mode", default="debias",
+                    choices=["forward", "debias"])
     ap.add_argument("--init_noise", action="store_true",
                     help="perturb the frame-0 pose (reference protocol "
                          "init_frame/gt=False) instead of GT init")
@@ -67,6 +70,8 @@ def main():
         "network/compute_dtype": args.dtype, "network/norm": args.norm,
         "track_cfg/conf_weighted_delta": args.conf_weighted_delta,
         "track_cfg/scale_clamp": args.scale_clamp,
+        "track_cfg/refine_iters": args.refine_iters,
+        "track_cfg/refine_mode": args.refine_mode,
     })
 
     T, B = args.frames, args.trajs

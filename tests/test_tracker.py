@@ -231,3 +231,66 @@ def test_conf_weighted_delta_downweights_uncertain_points(key):
     # uniform mean absorbs the wrong point fully; confidence weighting
     # suppresses it ~99x
     assert err_conf < err_uniform * 0.2, (err_uniform, err_conf)
+
+
+def test_refine_debias_cancels_constant_bias(key):
+    """track_cfg/refine_iters + refine_mode: under the constant-local-bias
+    model (the measured full-scan drift is a ~0.6 deg/frame correlated
+    bias, not a random walk), a second pass from the fitted pose sees the
+    bias again — "debias" composes its inverse and cancels it, while
+    "forward" refinement composes it forward and doubles it.
+
+    Static scene + an oracle that always predicts a fixed 5.7 deg delta
+    (the idealized bias): iters=1 errs by ~5.7 deg, forward ~11.5, debias
+    ~0."""
+    import numpy as np
+
+    from captra_tpu.config.schema import TrackCfg
+    from captra_tpu.pose.rotations import axis_theta_to_matrix
+
+    obj = rigid_obj()
+    N = 64
+    base = tiny_config().replace(obj=obj, num_points=N)
+    bias = np.asarray(axis_theta_to_matrix(
+        jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray(0.1)))  # 5.73 deg
+
+    tr = make_trajectory(seed=3, obj=obj, num_frames=2, num_points=N)
+    batch = batch_trajectories([tr])
+    # make the scene static: frame 1 = frame 0 (true delta = identity)
+    pts0 = batch["points"][0]
+    frames = {"points": jnp.stack([pts0, pts0])}
+    init = batch["pose"].map(lambda x: x[0])
+    nocs0 = batch["nocs"][0]                       # exact NPCS, static
+
+    def coord_fn(canon_pts):
+        B = canon_pts.shape[0]
+        return {"seg": jnp.ones((B, N, 1)), "nocs": nocs0}
+
+    def rot_fn(parts, labels):
+        B, P = parts.shape[0], parts.shape[1]
+        rt = jnp.broadcast_to(jnp.asarray(bias).reshape(9), (B, P, 9))
+        return {"rtvec": rt,
+                "point_rtvec": jnp.broadcast_to(rt[:, :, None],
+                                                (B, P, N, 9))}
+
+    def run(iters, mode):
+        cfg = base.replace(track=TrackCfg(init_frame_gt=True,
+                                          refine_iters=iters,
+                                          refine_mode=mode))
+        step = make_track_step(cfg, coord_fn, rot_fn)
+        _, aux = jax.jit(
+            lambda ip, fr: track_trajectory(step, ip, fr))(init, frames)
+        return np.asarray(aux.pose.rotation)[0, 0, 0]
+
+    R_gt = np.asarray(init.rotation)[0, 0]
+
+    def err_deg(R):
+        c = (np.trace(R_gt.T @ R) - 1) / 2
+        return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+    e_base = err_deg(run(1, "debias"))
+    e_fwd = err_deg(run(2, "forward"))
+    e_deb = err_deg(run(2, "debias"))
+    assert 5.0 < e_base < 6.5, e_base
+    assert e_fwd > 1.8 * e_base, (e_base, e_fwd)
+    assert e_deb < 0.5, e_deb
