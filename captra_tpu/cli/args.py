@@ -87,6 +87,10 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--track_cfg/refine_mode", type=str, default=None,
       choices=[None, "forward", "debias"])
 
+    a("--ckpt_format", type=str, default="pickle",
+      choices=["pickle", "orbax"],
+      help="checkpoint backend: single-file pickle (default) or an orbax "
+           "directory (multi-host-ready); resume auto-detects either")
     a("--num_devices", type=int, default=None,
       help="restrict the data-parallel mesh to this many devices")
     a("--synthetic_data", action="store_true", default=False,
@@ -104,7 +108,7 @@ def config_overrides(args: argparse.Namespace) -> dict:
     """Namespace -> {slash_path: value} (only explicitly set flags)."""
     skip = {"config", "config_dir", "resume_epoch", "save", "no_eval",
             "num_devices", "synthetic_data", "mode_name", "device_aug",
-            "geom_pool", "use_val"}
+            "geom_pool", "use_val", "ckpt_format"}
     out = {}
     for key, value in vars(args).items():
         if key in skip or value is None or value is False:

@@ -120,7 +120,9 @@ def main(argv=None):
                             sums[k] / max(count, 1))
         if ((epoch + 1) % cfg.save_freq == 0
                 or epoch == cfg.optim.total_epoch - 1):
-            ckpt.save_checkpoint(ckpt_dir, epoch, state)
+            ckpt.save_checkpoint(ckpt_dir, epoch, state,
+                                 format=getattr(args, "ckpt_format",
+                                                "pickle"))
         if test_ds is not None:
             sums, count = {}, 0
             ekey = jax.random.fold_in(jax.random.fold_in(key, epoch), 2)

@@ -190,7 +190,9 @@ def main(argv=None):
         # always the final epoch so tracking/resume have a checkpoint
         if ((epoch + 1) % cfg.save_freq == 0
                 or epoch == cfg.optim.total_epoch - 1):
-            ckpt.save_checkpoint(ckpt_dir, epoch, state)
+            ckpt.save_checkpoint(ckpt_dir, epoch, state,
+                                 format=getattr(args, "ckpt_format",
+                                                "pickle"))
         # per-epoch test evaluation (reference train.py:91-98 test_all)
         if test_ds is not None:
             run_epoch(single_frame_batches(test_ds, cfg.batch_size,

@@ -6,15 +6,27 @@ composition where a CoordNet experiment's weights are spliced into the track
 model (trainer.py:159-170 remaps `net.*` -> `npcs_net.*`; here the two nets
 live in separate variable trees, so composition is just loading both).
 
-Format: a single pickle file per epoch holding the numpy-materialized
-pytree {params, batch_stats, opt_state, step, epoch}, written atomically
-(tmp + rename).  Single-file pickle (rather than orbax's sharded
-directories) is deliberate: these nets are ~1-5M params and checkpoints are
-host-written by one process even under the data-parallel mesh (params are
-fully replicated), so sharded/async checkpointing buys nothing here.
+Two interchangeable on-disk formats behind the same `model_%04d` naming:
+
+- "pickle" (default): a single file holding the numpy-materialized pytree
+  {params, batch_stats, opt_state, step, epoch}, written atomically
+  (tmp + rename).  The right default here: these nets are ~1-5M params and
+  checkpoints are host-written by one process even under the data-parallel
+  mesh (params are fully replicated), so sharded writes buy nothing.
+- "orbax": an orbax PyTreeCheckpointer directory — the multi-host-ready
+  path (per-host sharded writes on a real multi-host mesh).  The optax
+  opt_state is stored as its flat leaves ("opt_state_leaves") because
+  orbax round-trips nested containers as plain dicts/lists; `restore_state`
+  rebuilds the optimizer NamedTuple structure from the live state's
+  treedef (and falls back to the fresh opt_state on any mismatch, matching
+  the reference's tolerant optimizer restore, trainer.py:181-185).
+
+`load_checkpoint` auto-detects the format (orbax checkpoints are
+directories), so resume and tracking-time composition work across formats.
 """
 from __future__ import annotations
 
+import json
 import os
 import pickle
 import re
@@ -24,16 +36,40 @@ import jax
 import numpy as np
 
 _CKPT_RE = re.compile(r"model_(\d{4,})$")
+_EXTRA_JSON = "captra_extra.json"
 
 
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(ckpt_dir: str, epoch: int, state, extra: dict | None = None):
+def save_checkpoint(ckpt_dir: str, epoch: int, state, extra: dict | None = None,
+                    format: str = "pickle"):
     """Write {params, batch_stats, opt_state, step, epoch} under
     ckpt_dir/model_%04d (reference naming trainer.py:196-210)."""
+    if format not in ("pickle", "orbax"):
+        raise ValueError(f"unknown checkpoint format {format!r}")
     os.makedirs(ckpt_dir, exist_ok=True)
+    path = pjoin(ckpt_dir, f"model_{epoch:04d}")
+    if format == "orbax":
+        import orbax.checkpoint as ocp
+        payload = {
+            "params": _to_numpy(state.params),
+            "batch_stats": _to_numpy(state.batch_stats),
+            # flat leaves: orbax round-trips containers as plain dicts, so
+            # the NamedTuple structure is re-applied at restore time
+            "opt_state_leaves": {
+                f"{i:04d}": np.asarray(leaf)
+                for i, leaf in enumerate(jax.tree.leaves(state.opt_state))},
+            "step": np.asarray(int(state.step), np.int64),
+            "epoch": np.asarray(int(epoch), np.int64),
+        }
+        ocp.PyTreeCheckpointer().save(os.path.abspath(path), payload,
+                                      force=True)
+        if extra:
+            with open(pjoin(path, _EXTRA_JSON), "w") as f:
+                json.dump(extra, f)
+        return path
     payload = {
         "params": _to_numpy(state.params),
         "batch_stats": _to_numpy(state.batch_stats),
@@ -43,7 +79,6 @@ def save_checkpoint(ckpt_dir: str, epoch: int, state, extra: dict | None = None)
     }
     if extra:
         payload["extra"] = extra
-    path = pjoin(ckpt_dir, f"model_{epoch:04d}")
     with open(path + ".tmp", "wb") as f:
         pickle.dump(payload, f)
     os.replace(path + ".tmp", path)
@@ -71,6 +106,17 @@ def latest_checkpoint(ckpt_dir: str, epoch: int | None = None) -> str | None:
 
 
 def load_checkpoint(path: str) -> dict:
+    """Load either format (orbax checkpoints are directories)."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        payload = dict(ocp.PyTreeCheckpointer().restore(os.path.abspath(path)))
+        extra_path = pjoin(path, _EXTRA_JSON)
+        if os.path.exists(extra_path):
+            with open(extra_path) as f:
+                payload["extra"] = json.load(f)
+        payload["step"] = int(payload.get("step", 0))
+        payload["epoch"] = int(payload.get("epoch", 0))
+        return payload
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -83,10 +129,20 @@ def restore_state(ckpt: dict, state):
     params = jax.tree.map(jnp.asarray, ckpt["params"])
     batch_stats = jax.tree.map(jnp.asarray, ckpt["batch_stats"])
     try:
-        opt_state = jax.tree.map(jnp.asarray, ckpt["opt_state"])
-        ref_struct = jax.tree.structure(state.opt_state)
-        if jax.tree.structure(opt_state) != ref_struct:
-            opt_state = state.opt_state
+        if "opt_state_leaves" in ckpt:
+            # orbax format: rebuild the optax NamedTuple structure from the
+            # live state's treedef (keys are zero-padded flatten indices)
+            saved = ckpt["opt_state_leaves"]
+            leaves = [jnp.asarray(saved[k]) for k in sorted(saved)]
+            treedef = jax.tree.structure(state.opt_state)
+            if treedef.num_leaves != len(leaves):
+                raise ValueError("optimizer leaf-count drift")
+            opt_state = jax.tree.unflatten(treedef, leaves)
+        else:
+            opt_state = jax.tree.map(jnp.asarray, ckpt["opt_state"])
+            ref_struct = jax.tree.structure(state.opt_state)
+            if jax.tree.structure(opt_state) != ref_struct:
+                opt_state = state.opt_state
     except Exception:
         opt_state = state.opt_state
     return state.replace(params=params, batch_stats=batch_stats,

@@ -73,3 +73,47 @@ def test_track_composition(key, tmp_path):
     pts = batch["points"] - batch["points"].mean(axis=1, keepdims=True)
     out = coord.apply(cv, pts, train=False)
     assert out["seg"].shape[-1] == 2
+
+
+def test_orbax_format_roundtrip(key, tmp_path):
+    """--ckpt_format orbax: same payload behind the same model_%04d naming;
+    load auto-detects the directory format and restore_state rebuilds the
+    optax NamedTuple opt_state exactly from the flat leaves."""
+    trainer, batch, state, d = _setup(key, tmp_path)
+    state, _, _ = trainer.train_step(state, batch, key)
+    ckpt.save_checkpoint(d, epoch=4, state=state, extra={"note": "x"},
+                         format="orbax")
+    path = ckpt.latest_checkpoint(d)
+    assert path and path.endswith("model_0004")
+    import os
+    assert os.path.isdir(path)
+    loaded = ckpt.load_checkpoint(path)
+    assert loaded["extra"] == {"note": "x"}
+    restored = ckpt.restore_state(loaded, state)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # opt_state preserved exactly (not the fresh-fallback): moments match
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
+    # overwrite same epoch (reference save semantics allow re-saving)
+    ckpt.save_checkpoint(d, epoch=4, state=state, format="orbax")
+    # a further step from the restored state runs fine
+    state2, loss, _ = trainer.train_step(restored, batch, key)
+    assert np.isfinite(float(loss["total_loss"]))
+
+
+def test_orbax_pickle_interop(key, tmp_path):
+    """Formats can be mixed in one ckpt dir; latest_checkpoint and the
+    tracking-time composition loader see both."""
+    trainer, batch, state, d = _setup(key, tmp_path)
+    ckpt.save_checkpoint(d, epoch=1, state=state, format="pickle")
+    ckpt.save_checkpoint(d, epoch=2, state=state, format="orbax")
+    assert ckpt.latest_checkpoint(d).endswith("model_0002")
+    a = ckpt.load_checkpoint(ckpt.latest_checkpoint(d, epoch=1))
+    b = ckpt.load_checkpoint(ckpt.latest_checkpoint(d, epoch=2))
+    for x, y in zip(jax.tree.leaves(a["params"]),
+                    jax.tree.leaves(b["params"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
