@@ -183,6 +183,41 @@ def test_resume_mid_recipe_bit_deterministic(config_dir, tmp_path,
         np.testing.assert_allclose(xa, xb, rtol=0, atol=0)
 
 
+def test_train_orbax_format_resume(config_dir, tmp_path, monkeypatch):
+    """--ckpt_format orbax through the real CLI: checkpoints land as orbax
+    directories under the same model_%04d naming, and a later run resumes
+    from them (load_checkpoint auto-detects the directory format) and keeps
+    the bit-deterministic stream vs an uninterrupted pickle run."""
+    import jax
+    train_cli = _tiny_synth_epochs(monkeypatch)
+
+    a = str(tmp_path / "straight_pickle")
+    train_cli.main(_common_args(config_dir, a,
+                                ["--config", "config_coordnet.yml",
+                                 "--total_epoch", "2"]))
+
+    b = str(tmp_path / "resumed_orbax")
+    train_cli.main(_common_args(config_dir, b,
+                                ["--config", "config_coordnet.yml",
+                                 "--total_epoch", "1",
+                                 "--ckpt_format", "orbax"]))
+    assert os.path.isdir(pjoin(b, "ckpt", "model_0000"))
+    train_cli.main(_common_args(config_dir, b,
+                                ["--config", "config_coordnet.yml",
+                                 "--total_epoch", "2",
+                                 "--ckpt_format", "orbax"]))
+
+    from captra_tpu.training import checkpoint as ckpt
+    pa = ckpt.load_checkpoint(pjoin(a, "ckpt", "model_0001"))
+    pb = ckpt.load_checkpoint(pjoin(b, "ckpt", "model_0001"))
+    assert pa["epoch"] == pb["epoch"] == 1
+    assert pa["step"] == pb["step"]
+    for xa, xb in zip(jax.tree.leaves(pa["params"]),
+                      jax.tree.leaves(pb["params"])):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=0, atol=0)
+
+
 def test_train_device_aug(config_dir, tmp_path):
     """--device_aug trains on device-side pose resampling (fresh poses per
     step over the geometry pool) through the real CLI."""
