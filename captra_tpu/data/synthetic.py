@@ -264,6 +264,29 @@ def device_pose_batch(key: jax.Array, npcs: jnp.ndarray,
     theta = jax.random.uniform(k_j, (B, P), minval=0.0, maxval=0.6)
 
     offsets = jnp.mean(corners, axis=2)                          # [B, P, 3]
+    R, t = _compose_parts(R_root, t_root, s, theta, offsets, obj)
+
+    posed = jnp.einsum("bpij,bnj->bpni", R, npcs) * s[:, None, None, None] \
+        + t[:, :, None]                                          # [B, P, N, 3]
+    own = jnp.take_along_axis(
+        posed, labels[:, None, :, None].repeat(3, -1), axis=1)[:, 0]
+    points = own + noise * jax.random.normal(k_n, own.shape)
+    pose = Pose(rotation=R, translation=t[..., None],
+                scale=jnp.broadcast_to(s[:, None], (B, P)))
+    return {"points": points, "labels": labels, "nocs": npcs,
+            "pose": pose, "corners": corners}
+
+
+def _compose_parts(R_root, t_root, s, theta, offsets, obj: ObjCfg):
+    """Per-part global poses from a root pose + per-part joint states, over
+    a flat batch: R_root [M, 3, 3], t_root [M, 3], s [M], theta [M, P],
+    offsets [M, P, 3] -> (R [M, P, 3, 3], t [M, P, 3]).  Kinematics match
+    `make_trajectory` (revolute about `main_axis` anchored at the part's
+    NPCS center, or prismatic along it)."""
+    from captra_tpu.pose.rotations import axis_theta_to_matrix
+    M = R_root.shape[0]
+    P = obj.num_parts
+    root = tree_root(obj.tree)
     Rs, ts = [], []
     for p in range(P):
         if p == root or obj.num_joints == 0:
@@ -275,27 +298,95 @@ def device_pose_batch(key: jax.Array, npcs: jnp.ndarray,
         ax[obj.main_axis[jidx] if obj.main_axis else 1] = 1.0
         ax = jnp.asarray(ax)
         if obj.joint_type == "prismatic":
-            R_local = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
-            t_local = ax * theta[:, p:p + 1] * 0.3               # [B, 3]
+            R_local = jnp.broadcast_to(jnp.eye(3), (M, 3, 3))
+            t_local = ax * theta[:, p:p + 1] * 0.3               # [M, 3]
         else:
             R_local = axis_theta_to_matrix(
-                jnp.broadcast_to(ax, (B, 3)), theta[:, p])
+                jnp.broadcast_to(ax, (M, 3)), theta[:, p])
             t_local = jnp.einsum(
                 "bij,bj->bi", jnp.eye(3) - R_local, offsets[:, p])
         Rs.append(jnp.einsum("bij,bjk->bik", R_root, R_local))
         ts.append(s[:, None] * jnp.einsum("bij,bj->bi", R_root, t_local)
                   + t_root)
-    R = jnp.stack(Rs, axis=1)                                    # [B, P, 3, 3]
-    t = jnp.stack(ts, axis=1)                                    # [B, P, 3]
+    return jnp.stack(Rs, axis=1), jnp.stack(ts, axis=1)
 
-    posed = jnp.einsum("bpij,bnj->bpni", R, npcs) * s[:, None, None, None] \
-        + t[:, :, None]                                          # [B, P, N, 3]
+
+def device_trajectory_batch(key: jax.Array, npcs: jnp.ndarray,
+                            labels: jnp.ndarray, corners: jnp.ndarray,
+                            obj: ObjCfg, num_frames: int,
+                            scale_range=(0.15, 0.3), noise: float = 0.002,
+                            motion_rad: float = 0.03,
+                            motion_trans: float = 0.01) -> dict:
+    """Jittable [T, B] trajectory render over pooled geometry — the
+    trajectory analogue of `device_pose_batch`, built for on-policy rollout
+    fine-tuning (training/rollout.py): fresh smooth trajectories every round
+    at zero host cost.  Motion model matches `make_trajectory`: the root
+    pose drifts at a constant angular/linear rate along a random axis and
+    each child joint advances at a constant random rate.
+
+    npcs [B, N, 3], labels [B, N], corners [B, P, 2, 3] ->
+    {points [T, B, N, 3], labels [T, B, N], nocs [T, B, N, 3],
+     pose Pose[T, B, P], corners [B, P, 2, 3]}.
+    """
+    from captra_tpu.pose.rotations import axis_theta_to_matrix, quat_to_matrix
+    B, N, _ = npcs.shape
+    P = obj.num_parts
+    T = num_frames
+    k_q, k_t, k_s, k_j, k_dj, k_ax, k_dt, k_n = jax.random.split(key, 8)
+
+    # base pose (same distribution as device_pose_batch)
+    q = jax.random.normal(k_q, (B, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    R0 = quat_to_matrix(q)                                       # [B, 3, 3]
+    t0 = jax.random.uniform(k_t, (B, 3), minval=-0.1,
+                            maxval=0.1) + jnp.array([0, 0, 0.8])
+    s = jax.random.uniform(k_s, (B,), minval=scale_range[0],
+                           maxval=scale_range[1])
+    theta0 = jax.random.uniform(k_j, (B, P), minval=0.0, maxval=0.6)
+    djoint = jax.random.uniform(k_dj, (B, P), minval=0.2,
+                                maxval=1.0) * 0.03
+
+    axis = jax.random.normal(k_ax, (B, 3))
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    dtrans = jax.random.normal(k_dt, (B, 3))
+    dtrans = dtrans / jnp.linalg.norm(dtrans, axis=-1,
+                                      keepdims=True) * motion_trans
+
+    f = jnp.arange(1, T + 1, dtype=jnp.float32)                  # [T]
+    # drift rotation for every (frame, traj): Rodrigues(axis_b, rad * f)
+    drift = axis_theta_to_matrix(
+        jnp.broadcast_to(axis[None], (T, B, 3)).reshape(T * B, 3),
+        (motion_rad * f)[:, None].repeat(B, 1).reshape(T * B))
+    R_root = jnp.einsum("mij,mjk->mik", drift,
+                        jnp.broadcast_to(R0[None], (T, B, 3, 3))
+                        .reshape(T * B, 3, 3))                   # [TB, 3, 3]
+    t_root = (t0[None] + f[:, None, None] * dtrans[None]) \
+        .reshape(T * B, 3)
+    theta = (theta0[None] + (f - 1.0)[:, None, None] * djoint[None]) \
+        .reshape(T * B, P)
+    s_flat = jnp.broadcast_to(s[None], (T, B)).reshape(T * B)
+
+    offsets = jnp.mean(corners, axis=2)                          # [B, P, 3]
+    off_flat = jnp.broadcast_to(offsets[None], (T, B, P, 3)) \
+        .reshape(T * B, P, 3)
+    R, t = _compose_parts(R_root, t_root, s_flat, theta, off_flat, obj)
+
+    npcs_flat = jnp.broadcast_to(npcs[None], (T, B, N, 3)) \
+        .reshape(T * B, N, 3)
+    labels_flat = jnp.broadcast_to(labels[None], (T, B, N)) \
+        .reshape(T * B, N)
+    posed = jnp.einsum("bpij,bnj->bpni", R, npcs_flat) \
+        * s_flat[:, None, None, None] + t[:, :, None]            # [TB,P,N,3]
     own = jnp.take_along_axis(
-        posed, labels[:, None, :, None].repeat(3, -1), axis=1)[:, 0]
+        posed, labels_flat[:, None, :, None].repeat(3, -1), axis=1)[:, 0]
     points = own + noise * jax.random.normal(k_n, own.shape)
-    pose = Pose(rotation=R, translation=t[..., None],
-                scale=jnp.broadcast_to(s[:, None], (B, P)))
-    return {"points": points, "labels": labels, "nocs": npcs,
+
+    pose = Pose(rotation=R.reshape(T, B, P, 3, 3),
+                translation=t.reshape(T, B, P, 3)[..., None],
+                scale=jnp.broadcast_to(s[None, :, None], (T, B, P)))
+    return {"points": points.reshape(T, B, N, 3),
+            "labels": jnp.broadcast_to(labels[None], (T, B, N)),
+            "nocs": jnp.broadcast_to(npcs[None], (T, B, N, 3)),
             "pose": pose, "corners": corners}
 
 

@@ -138,11 +138,17 @@ def coordnet_loss(cfg: Config, module: CoordNet, params, batch_stats,
     k_noise, k_pwm = jax.random.split(key)
 
     gt: Pose = batch["pose"]
-    init_part = add_noise_to_pose(
-        k_noise, gt, rot_rad=jnp.deg2rad(cfg.perturb.r),
-        trans_sigma=cfg.perturb.t, scale_sigma=cfg.perturb.s,
-        kind=cfg.perturb.kind)
-    init_part = _apply_crop_pose(init_part, batch)
+    if "init_pose" in batch:
+        # on-policy fine-tuning (training/rollout.py): the init pose is a
+        # tracker rollout's carried pose, not GT + sampled noise — the
+        # network trains on the error distribution tracking actually sees
+        init_part = batch["init_pose"]
+    else:
+        init_part = add_noise_to_pose(
+            k_noise, gt, rot_rad=jnp.deg2rad(cfg.perturb.r),
+            trans_sigma=cfg.perturb.t, scale_sigma=cfg.perturb.s,
+            kind=cfg.perturb.kind)
+        init_part = _apply_crop_pose(init_part, batch)
     canon_pose = init_part[:, root]
 
     points_raw = batch["points"]
@@ -200,11 +206,15 @@ def rotnet_loss(cfg: Config, module: RotNet, params, batch_stats,
     obj = cfg.obj
 
     gt: Pose = batch["pose"]
-    init_part = add_noise_to_pose(
-        key, gt, rot_rad=jnp.deg2rad(cfg.perturb.r),
-        trans_sigma=cfg.perturb.t, scale_sigma=cfg.perturb.s,
-        kind=cfg.perturb.kind)
-    init_part = _apply_crop_pose(init_part, batch)
+    if "init_pose" in batch:
+        # on-policy fine-tuning: see coordnet_loss
+        init_part = batch["init_pose"]
+    else:
+        init_part = add_noise_to_pose(
+            key, gt, rot_rad=jnp.deg2rad(cfg.perturb.r),
+            trans_sigma=cfg.perturb.t, scale_sigma=cfg.perturb.s,
+            kind=cfg.perturb.kind)
+        init_part = _apply_crop_pose(init_part, batch)
     # canonicalization pose per part == the init pose itself
     # (model.py:229-240): supervision is the canonical-frame delta
     root_delta = compute_parts_delta_pose(init_part, gt, init_part)
