@@ -79,7 +79,8 @@ def collect_states(cfg: Config, coord_fn, rot_fn, traj: dict,
 def make_finetune_round(cfg_track: Config, coord_trainer, rot_trainer,
                         pool: dict, *, traj_batch: int, traj_frames: int,
                         minibatch: int, plain_steps: int = 0,
-                        motion_rad: float = 0.03):
+                        motion_rad: float = 0.03,
+                        freeze_coord: bool = False):
     """Build the fused one-dispatch fine-tune round.
 
     pool: geometry pool from data/synthetic.py:geometry_pool (HBM-resident).
@@ -135,7 +136,13 @@ def make_finetune_round(cfg_track: Config, coord_trainer, rot_trainer,
             cs, rs = carry
             mb, k = inp
             kc, kr = jax.random.split(k)
-            cs, closs, _ = coord_trainer.train_step(cs, mb, kc)
+            if freeze_coord:
+                # rotation-only fine-tune: CoordNet passes through untouched
+                # (the first experiment showed joint fine-tuning destabilizes
+                # the NPCS scale fit — EVIDENCE.md round-3)
+                closs = {"total_loss": jnp.zeros(())}
+            else:
+                cs, closs, _ = coord_trainer.train_step(cs, mb, kc)
             rs, rloss, rmet = rot_trainer.train_step(rs, mb, kr)
             return (cs, rs), {"coord_loss": closs["total_loss"],
                               "rot_loss": rloss["total_loss"],
@@ -154,7 +161,8 @@ def make_finetune_round(cfg_track: Config, coord_trainer, rot_trainer,
                 pgeo = jax.tree.map(lambda x: x[pidx], pool)
                 pb = device_pose_batch(kp, pgeo["npcs"], pgeo["labels"],
                                        pgeo["corners"], obj)
-                cs, _, _ = coord_trainer.train_step(cs, pb, kc)
+                if not freeze_coord:
+                    cs, _, _ = coord_trainer.train_step(cs, pb, kc)
                 rs, _, _ = rot_trainer.train_step(rs, pb, kr)
                 return (cs, rs), 0.0
 

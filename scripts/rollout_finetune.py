@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--plain_steps", type=int, default=0,
                     help="standard noise-perturbation steps per round "
                          "(off-policy retention mixing)")
+    ap.add_argument("--freeze_coord", action="store_true",
+                    help="fine-tune RotationNet only (CoordNet frozen)")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--geom_pool", type=int, default=512)
     ap.add_argument("--dtype", default="bfloat16")
@@ -103,7 +105,7 @@ def main():
         cfg_track, trainers["canon_coord"], trainers["rot"], pool,
         traj_batch=args.traj_batch, traj_frames=args.frames,
         minibatch=args.minibatch, plain_steps=args.plain_steps,
-        motion_rad=args.motion_rad)
+        motion_rad=args.motion_rad, freeze_coord=args.freeze_coord)
 
     # held-out eval set (generator seeds disjoint from the training pool)
     T, B = args.eval_frames, args.eval_trajs

@@ -160,3 +160,15 @@ def test_finetune_round_runs_and_updates(key):
     moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                          cs.params, cs2.params)
     assert max(jax.tree.leaves(moved)) > 0
+
+    # freeze_coord: CoordNet passes through bit-identical, RotNet trains
+    frozen_fn = make_finetune_round(base, coord_tr, rot_tr, pool,
+                                    traj_batch=2, traj_frames=4,
+                                    minibatch=3, plain_steps=1,
+                                    freeze_coord=True)
+    cs3, rs3, logs3 = frozen_fn(cs, rs, key)
+    same = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        cs.params, cs3.params)
+    assert max(jax.tree.leaves(same)) == 0
+    assert int(cs3.step) == 0 and int(rs3.step) == 3
+    assert np.isfinite(float(logs3["rot_loss"]))
