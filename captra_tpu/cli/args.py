@@ -86,6 +86,13 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
            "mode set by --track_cfg/refine_mode)")
     a("--track_cfg/refine_mode", type=str, default=None,
       choices=[None, "forward", "debias"])
+    a("--track_cfg/rot_fit", type=str, default=None,
+      choices=[None, "delta", "npcs", "fused"],
+      help="tracked-rotation source: regressed delta (reference behavior), "
+           "absolute Procrustes from predicted NPCS, or their geodesic "
+           "blend (deviation when not 'delta')")
+    a("--track_cfg/rot_fit_alpha", type=float, default=None,
+      help="fused-mode blend weight toward the NPCS solve (0..1)")
 
     a("--ckpt_format", type=str, default="pickle",
       choices=["pickle", "orbax"],

@@ -161,6 +161,9 @@ def get_config(config: str = "config_track.yml",
         refine_mode=_choice(tc.get("refine_mode", "debias"),
                             ("forward", "debias"),
                             "track_cfg/refine_mode"),
+        rot_fit=_choice(tc.get("rot_fit", "delta"),
+                        ("delta", "npcs", "fused"), "track_cfg/rot_fit"),
+        rot_fit_alpha=float(tc.get("rot_fit_alpha", 0.5)),
     )
 
     optim = OptimCfg(

@@ -137,6 +137,17 @@ class TrackCfg:
     # fitted pose estimates the predictor's local bias, the dominant term
     # in the measured full-scan drift (EVIDENCE.md round-3)
     refine_mode: str = "debias"
+    # rotation source for the tracked pose (deviation; the reference always
+    # composes the regressed delta, networks.py:210-232):
+    #   "delta" — reference behavior (default)
+    #   "npcs"  — absolute masked Procrustes solve from CoordNet's
+    #             predicted NPCS (errors don't integrate frame-to-frame,
+    #             but each frame pays the full NPCS noise)
+    #   "fused" — complementary filter: the delta-composed R pulled toward
+    #             the NPCS solve by rot_fit_alpha along the SO(3) geodesic
+    #             (the absolute measurement bounds the delta drift)
+    rot_fit: str = "delta"
+    rot_fit_alpha: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -119,7 +119,9 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
                        labels: jnp.ndarray, pred_nocs: jnp.ndarray,
                        points: jnp.ndarray, points_mean: jnp.ndarray,
                        num_parts: int, sym: bool,
-                       scale_clamp: float = 0.0) -> Pose:
+                       scale_clamp: float = 0.0,
+                       rot_fit: str = "delta",
+                       rot_fit_alpha: float = 0.5) -> Pose:
     """Tracking-mode pose update (reference networks.py:210-232):
     R_new = R_state @ R_delta, then fit s/t from predicted NPCS with validity
     fallback to the previous pose.
@@ -131,10 +133,30 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
     bound is the crop-radius growth, nocs_data_process.py:95-99) that damps
     the scale random walk when the NPCS magnitudes are biased; off by
     default (see EVIDENCE.md "scale drift guard" for measurements).
+
+    rot_fit != "delta" is a DEVIATION (see TrackCfg.rot_fit): the rotation
+    is taken from ("npcs") or pulled toward ("fused", by rot_fit_alpha) an
+    absolute masked Procrustes solve pred_nocs -> camera — an on-device 3x3
+    SVD per part per frame, which the reference architecture avoids by
+    regressing the delta (networks.py:210-232 always passes the composed
+    rotation to the fit).  Parts whose NPCS solve is degenerate (<4 points
+    or non-finite) keep the delta-composed rotation.
     """
     merged = merge_delta_pose(state, delta_rotation=delta_rotation)
     cam = (points + points_mean[:, None])[:, None]  # [B, 1, N, 3]
     cam = jnp.broadcast_to(cam, pred_nocs.shape)
+    if rot_fit != "delta":
+        from captra_tpu.pose.procrustes import similarity_fit
+        mask = labels_to_part_mask(labels, num_parts)      # [B, P, N]
+        r_abs, _, _ = similarity_fit(pred_nocs, cam, mask, sym=sym)
+        if rot_fit == "fused":
+            r_abs = rot.so3_interpolate(merged.rotation, r_abs,
+                                        rot_fit_alpha)
+        ok = (jnp.sum(mask, axis=-1) > 3) \
+            & jnp.all(jnp.isfinite(r_abs), axis=(-1, -2))  # [B, P]
+        rotation = jnp.where(ok[..., None, None], r_abs, merged.rotation)
+        merged = Pose(rotation=rotation, translation=merged.translation,
+                      scale=merged.scale)
     # min_scale: a ~zero fitted scale (near-total sensor dropout) must take
     # the previous-pose fallback, not poison the recurrence — tracking-only
     # deviation, see pose_fit.filter_valid

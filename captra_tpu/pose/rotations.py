@@ -127,6 +127,21 @@ def rotvec_to_matrix(rv: jnp.ndarray) -> jnp.ndarray:
     return axis_theta_to_matrix(axis, theta)
 
 
+def so3_interpolate(ra: jnp.ndarray, rb: jnp.ndarray,
+                    alpha: float) -> jnp.ndarray:
+    """Geodesic interpolation from `ra` toward `rb` by fraction `alpha`
+    along the short arc: ra @ exp(alpha * log(ra^T rb)).
+
+    No reference counterpart (the reference never blends rotations); used
+    by the opt-in `track_cfg/rot_fit=fused` complementary filter.  The
+    relative angle comes from matrix_to_axis_theta, whose quaternion always
+    has w >= 0, so theta is in [0, pi] (the short way) — NOT via
+    matrix_to_rotvec, whose +2pi offset would break the scaling."""
+    rel = jnp.swapaxes(ra, -1, -2) @ rb
+    axis, theta = matrix_to_axis_theta(rel)
+    return ra @ axis_theta_to_matrix(axis, alpha * theta)
+
+
 # ---------------------------------------------------------------------------
 # learned-representation decoders
 # ---------------------------------------------------------------------------

@@ -217,7 +217,9 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
         new_pose = compose_track_pose(pose, delta, labels, pred_npcs,
                                       points, points_mean,
                                       num_parts=obj.num_parts, sym=obj.sym,
-                                      scale_clamp=cfg.track.scale_clamp)
+                                      scale_clamp=cfg.track.scale_clamp,
+                                      rot_fit=cfg.track.rot_fit,
+                                      rot_fit_alpha=cfg.track.rot_fit_alpha)
         return new_pose, TrackAux(pose=new_pose, pred_labels=pred_labels,
                                   seg=seg, nocs=nocs)
 

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--refine_iters", type=int, default=1)
     ap.add_argument("--refine_mode", default="debias",
                     choices=["forward", "debias"])
+    ap.add_argument("--rot_fit", default="delta",
+                    choices=["delta", "npcs", "fused"])
+    ap.add_argument("--rot_fit_alpha", type=float, default=0.5)
     ap.add_argument("--init_noise", action="store_true",
                     help="perturb the frame-0 pose (reference protocol "
                          "init_frame/gt=False) instead of GT init")
@@ -72,6 +75,8 @@ def main():
         "track_cfg/scale_clamp": args.scale_clamp,
         "track_cfg/refine_iters": args.refine_iters,
         "track_cfg/refine_mode": args.refine_mode,
+        "track_cfg/rot_fit": args.rot_fit,
+        "track_cfg/rot_fit_alpha": args.rot_fit_alpha,
     })
 
     T, B = args.frames, args.trajs

@@ -110,3 +110,38 @@ def test_jit_compatible(key, rng):
     f = jax.jit(lambda k, m: rot.noisy_rot_matrix(k, m, 0.05))
     out = f(key, R)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_so3_interpolate_endpoints_and_midpoint(rng):
+    Ra = jnp.asarray(random_rotations(rng, 8))
+    Rb = jnp.asarray(random_rotations(rng, 8))
+    np.testing.assert_allclose(np.asarray(rot.so3_interpolate(Ra, Rb, 0.0)),
+                               np.asarray(Ra), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rot.so3_interpolate(Ra, Rb, 1.0)),
+                               np.asarray(Rb), atol=1e-4)
+    # midpoint: equidistant from both endpoints along the geodesic
+    Rm = rot.so3_interpolate(Ra, Rb, 0.5)
+    assert_rotation(np.asarray(Rm), atol=1e-4)
+
+    def angle(x, y):
+        c = (jnp.einsum("...ii->...", jnp.swapaxes(x, -1, -2) @ y) - 1) / 2
+        return jnp.degrees(jnp.arccos(jnp.clip(c, -1, 1)))
+
+    a_am = np.asarray(angle(Ra, Rm))
+    a_mb = np.asarray(angle(Rm, Rb))
+    a_ab = np.asarray(angle(Ra, Rb))
+    np.testing.assert_allclose(a_am, a_mb, atol=1e-2)
+    np.testing.assert_allclose(a_am + a_mb, a_ab, atol=1e-2)
+
+
+def test_so3_interpolate_short_arc():
+    """A 170-deg relative rotation must scale through the SHORT arc: the
+    quarter point of a 170 deg arc is 42.5 deg from ra, never 47.5 (what
+    the long-way 190 deg arc would give)."""
+    Ra = jnp.eye(3)
+    Rb = rot.axis_theta_to_matrix(jnp.asarray([0.0, 1.0, 0.0]),
+                                  jnp.asarray(np.deg2rad(170.0)))
+    Rq = rot.so3_interpolate(Ra, Rb, 0.25)
+    c = (jnp.trace(Rq) - 1) / 2
+    ang = np.degrees(np.arccos(np.clip(np.asarray(c), -1, 1)))
+    np.testing.assert_allclose(ang, 42.5, atol=0.01)

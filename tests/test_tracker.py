@@ -294,3 +294,115 @@ def test_refine_debias_cancels_constant_bias(key):
     assert 5.0 < e_base < 6.5, e_base
     assert e_fwd > 1.8 * e_base, (e_base, e_fwd)
     assert e_deb < 0.5, e_deb
+
+
+def test_rot_fit_npcs_bounds_delta_bias(key):
+    """track_cfg/rot_fit: with a biased delta regressor but exact NPCS
+    predictions, the absolute Procrustes rotation solve ("npcs") recovers
+    the GT rotation, the complementary filter ("fused", alpha=0.5) halves
+    the bias, and the reference-default "delta" absorbs it fully.
+
+    Static scene + an oracle that always predicts a fixed 5.7 deg delta
+    and exact NPCS — same constant-local-bias model as the debias test."""
+    import numpy as np
+
+    from captra_tpu.config.schema import TrackCfg
+    from captra_tpu.pose.rotations import axis_theta_to_matrix
+
+    obj = rigid_obj()
+    N = 64
+    base = tiny_config().replace(obj=obj, num_points=N)
+    bias = np.asarray(axis_theta_to_matrix(
+        jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray(0.1)))  # 5.73 deg
+
+    tr = make_trajectory(seed=5, obj=obj, num_frames=2, num_points=N,
+                         noise=0.0)  # exact correspondences for the oracle
+    batch = batch_trajectories([tr])
+    pts0 = batch["points"][0]
+    frames = {"points": jnp.stack([pts0, pts0])}  # static scene
+    init = batch["pose"].map(lambda x: x[0])
+    nocs0 = batch["nocs"][0]
+
+    def coord_fn(canon_pts):
+        B = canon_pts.shape[0]
+        return {"seg": jnp.ones((B, N, 1)), "nocs": nocs0}
+
+    def rot_fn(parts, labels):
+        B, P = parts.shape[0], parts.shape[1]
+        rt = jnp.broadcast_to(jnp.asarray(bias).reshape(9), (B, P, 9))
+        return {"rtvec": rt,
+                "point_rtvec": jnp.broadcast_to(rt[:, :, None],
+                                                (B, P, N, 9))}
+
+    def run(mode, alpha=0.5):
+        cfg = base.replace(track=TrackCfg(init_frame_gt=True,
+                                          rot_fit=mode,
+                                          rot_fit_alpha=alpha))
+        step = make_track_step(cfg, coord_fn, rot_fn)
+        _, aux = jax.jit(
+            lambda ip, fr: track_trajectory(step, ip, fr))(init, frames)
+        return np.asarray(aux.pose.rotation)[0, 0, 0]
+
+    R_gt = np.asarray(init.rotation)[0, 0]
+
+    def err_deg(R):
+        c = (np.trace(R_gt.T @ R) - 1) / 2
+        return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+    e_delta = err_deg(run("delta"))
+    e_npcs = err_deg(run("npcs"))
+    e_fused = err_deg(run("fused"))
+    assert 5.0 < e_delta < 6.5, e_delta
+    assert e_npcs < 0.2, e_npcs
+    assert abs(e_fused - e_delta / 2) < 0.5, (e_delta, e_fused)
+    # alpha sweeps the blend continuously toward the absolute solve
+    e_a25 = err_deg(run("fused", alpha=0.25))
+    e_a75 = err_deg(run("fused", alpha=0.75))
+    assert e_a75 < e_fused < e_a25 < e_delta, (e_delta, e_a25, e_fused, e_a75)
+
+
+def test_rot_fit_npcs_degenerate_part_keeps_delta(key):
+    """A part whose NPCS solve is degenerate (<4 in-part points) must keep
+    the delta-composed rotation, not a garbage absolute solve."""
+    import numpy as np
+
+    from captra_tpu.config.schema import TrackCfg
+
+    obj = arti_obj()
+    N = 64
+    base = tiny_config().replace(obj=obj, num_points=N)
+
+    tr = make_trajectory(seed=6, obj=obj, num_frames=2, num_points=N)
+    batch = batch_trajectories([tr])
+    pts0 = batch["points"][0]
+    frames = {"points": jnp.stack([pts0, pts0])}
+    init = batch["pose"].map(lambda x: x[0])
+    nocs0 = batch["nocs"][0]
+
+    # all points labeled part 0 -> part 1 has ZERO in-part points
+    labels0 = jnp.zeros((1, N), dtype=jnp.int32)
+
+    def coord_fn(canon_pts):
+        B = canon_pts.shape[0]
+        seg = jax.nn.one_hot(labels0, obj.num_seg)
+        return {"seg": seg, "nocs": jnp.tile(nocs0[..., :3],
+                                             (1, 1, obj.num_parts))}
+
+    ident = jnp.eye(3).reshape(9)
+
+    def rot_fn(parts, labels):
+        B, P = parts.shape[0], parts.shape[1]
+        rt = jnp.broadcast_to(ident, (B, P, 9))
+        return {"rtvec": rt,
+                "point_rtvec": jnp.broadcast_to(rt[:, :, None],
+                                                (B, P, N, 9))}
+
+    cfg = base.replace(track=TrackCfg(init_frame_gt=True, rot_fit="npcs"))
+    step = make_track_step(cfg, coord_fn, rot_fn)
+    _, aux = jax.jit(
+        lambda ip, fr: track_trajectory(step, ip, fr))(init, frames)
+    R = np.asarray(aux.pose.rotation)[0, 0]  # [P, 3, 3]
+    assert np.isfinite(R).all()
+    # part 1 (empty): identity delta composed onto init -> exactly init
+    np.testing.assert_allclose(R[1], np.asarray(init.rotation)[0, 1],
+                               atol=1e-5)
