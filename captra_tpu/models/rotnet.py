@@ -140,7 +140,11 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
     SVD per part per frame, which the reference architecture avoids by
     regressing the delta (networks.py:210-232 always passes the composed
     rotation to the fit).  Parts whose NPCS solve is degenerate (<4 points
-    or non-finite) keep the delta-composed rotation.
+    or non-finite) keep the delta-composed rotation.  "npcs" always takes
+    the full solve (for sym parts its y-spin is azimuth-locked to the
+    observed cloud by the 2D refinement — measured better than an
+    axis-only update); "fused" on sym parts blends only the y-axis
+    direction, preserving the carried spin (see inline comment).
     """
     merged = merge_delta_pose(state, delta_rotation=delta_rotation)
     cam = (points + points_mean[:, None])[:, None]  # [B, 1, N, 3]
@@ -149,7 +153,27 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
         from captra_tpu.pose.procrustes import similarity_fit
         mask = labels_to_part_mask(labels, num_parts)      # [B, P, N]
         r_abs, _, _ = similarity_fit(pred_nocs, cam, mask, sym=sym)
-        if rot_fit == "fused":
+        if rot_fit == "fused" and sym:
+            # Sym + blend: the solve's y-spin can flip between competing
+            # azimuth modes frame-to-frame (near-symmetric geometry), and
+            # geodesic-blending toward a ~pi-flipped target mixes the spin
+            # into the tilt (measured: full-scan rdiff 12.98 -> 19.77 on
+            # bottle).  Blend the y-AXIS DIRECTION only: the minimal
+            # camera-frame rotation taking the carried y-axis toward the
+            # solved one, scaled by alpha; the carried spin is preserved.
+            # ("npcs" keeps the full solve even for sym: its spin is
+            # azimuth-locked to the observed cloud by similarity_fit's 2D
+            # refinement, which measured BETTER than axis-only — 9.03 vs
+            # 9.89 full-scan rdiff, 0.375 vs 0.276 5deg5cm.)
+            y_c = merged.rotation[..., :, 1]               # carried y-axis
+            y_a = r_abs[..., :, 1]                         # absolute y-axis
+            axis = jnp.cross(y_c, y_a)
+            theta = jnp.arctan2(jnp.linalg.norm(axis, axis=-1),
+                                jnp.sum(y_c * y_a, axis=-1))
+            axis = rot.normalize_vector(axis)  # zero-norm -> fallback axis,
+            r_abs = rot.axis_theta_to_matrix(  # harmless (theta ~ 0 there)
+                axis, rot_fit_alpha * theta) @ merged.rotation
+        elif rot_fit == "fused":
             r_abs = rot.so3_interpolate(merged.rotation, r_abs,
                                         rot_fit_alpha)
         ok = (jnp.sum(mask, axis=-1) > 3) \

@@ -406,3 +406,75 @@ def test_rot_fit_npcs_degenerate_part_keeps_delta(key):
     # part 1 (empty): identity delta composed onto init -> exactly init
     np.testing.assert_allclose(R[1], np.asarray(init.rotation)[0, 1],
                                atol=1e-5)
+
+
+def test_rot_fit_sym_corrects_axis_keeps_spin(key):
+    """Sym parts: with exact NPCS and a tilt-biased sym delta head, "npcs"
+    (full solve, azimuth-locked spin) recovers the GT y-axis (sym rdiff
+    ~0) where "delta" absorbs the tilt; "fused" blends only the y-axis
+    direction and keeps the carried (delta-composed) spin."""
+    import numpy as np
+
+    from captra_tpu.config.schema import TrackCfg
+    from captra_tpu.pose.rotations import axis_theta_to_matrix
+
+    obj = rigid_obj(sym=True)
+    N = 64
+    base = tiny_config().replace(obj=obj, num_points=N)
+    # biased sym delta: a 5.73 deg tilt about x, delivered as the y-column
+    tilt = np.asarray(axis_theta_to_matrix(
+        jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray(0.1)))
+    y_bias = tilt[:, 1].astype(np.float32)
+
+    tr = make_trajectory(seed=9, obj=obj, num_frames=2, num_points=N,
+                         noise=0.0)
+    batch = batch_trajectories([tr])
+    pts0 = batch["points"][0]
+    frames = {"points": jnp.stack([pts0, pts0])}  # static scene
+    init = batch["pose"].map(lambda x: x[0])
+    nocs0 = batch["nocs"][0]
+
+    def coord_fn(canon_pts):
+        B = canon_pts.shape[0]
+        return {"seg": jnp.ones((B, N, 1)), "nocs": nocs0}
+
+    def rot_fn(parts, labels):
+        B, P = parts.shape[0], parts.shape[1]
+        rt = jnp.broadcast_to(jnp.asarray(y_bias), (B, P, 3))
+        return {"rtvec": rt,
+                "point_rtvec": jnp.broadcast_to(rt[:, :, None],
+                                                (B, P, N, 3))}
+
+    def run(mode):
+        cfg = base.replace(track=TrackCfg(init_frame_gt=True, rot_fit=mode))
+        step = make_track_step(cfg, coord_fn, rot_fn)
+        _, aux = jax.jit(
+            lambda ip, fr: track_trajectory(step, ip, fr))(init, frames)
+        return np.asarray(aux.pose.rotation)[0, 0, 0]
+
+    y_gt = np.asarray(init.rotation)[0, 0][:, 1]
+
+    def axis_err_deg(R):
+        c = np.clip(np.dot(y_gt, R[:, 1]), -1, 1)
+        return np.degrees(np.arccos(c))
+
+    R_delta = run("delta")
+    R_npcs = run("npcs")
+    R_fused = run("fused")
+    e_delta = axis_err_deg(R_delta)
+    e_npcs = axis_err_deg(R_npcs)
+    e_fused = axis_err_deg(R_fused)
+    assert 5.0 < e_delta < 6.5, e_delta
+    assert e_npcs < 0.2, e_npcs
+    assert abs(e_fused - e_delta / 2) < 0.6, (e_delta, e_fused)
+    # fused-sym preserves the carried spin: the axis-only half-correction
+    # composed onto the delta rotation — R_fused must equal the minimal
+    # y_c -> y_gt rotation at HALF angle applied to R_delta (never the
+    # solve's spin).
+    y_c = R_delta[:, 1]
+    ax = np.cross(y_c, y_gt)
+    th = np.arctan2(np.linalg.norm(ax), np.dot(y_c, y_gt))
+    ax = ax / np.linalg.norm(ax)
+    R_half = np.asarray(axis_theta_to_matrix(jnp.asarray(ax),
+                                             jnp.asarray(0.5 * th)))
+    np.testing.assert_allclose(R_fused, R_half @ R_delta, atol=1e-4)
