@@ -118,7 +118,12 @@ def config_overrides(args: argparse.Namespace) -> dict:
             "geom_pool", "use_val", "ckpt_format"}
     out = {}
     for key, value in vars(args).items():
-        if key in skip or value is None or value is False:
+        # None = not passed.  False is NOT skipped: every boolean flag here
+        # is a boolean_string with default=None, so False means the user
+        # explicitly passed "false" (e.g. to turn OFF a YAML-enabled
+        # track_cfg deviation); the action="store_true" flags (save,
+        # no_eval, ...) are all in `skip`.
+        if key in skip or value is None:
             continue
         out[key] = value
     return out

@@ -168,10 +168,17 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
             y_c = merged.rotation[..., :, 1]               # carried y-axis
             y_a = r_abs[..., :, 1]                         # absolute y-axis
             axis = jnp.cross(y_c, y_a)
-            theta = jnp.arctan2(jnp.linalg.norm(axis, axis=-1),
-                                jnp.sum(y_c * y_a, axis=-1))
-            axis = rot.normalize_vector(axis)  # zero-norm -> fallback axis,
-            r_abs = rot.axis_theta_to_matrix(  # harmless (theta ~ 0 there)
+            norm = jnp.linalg.norm(axis, axis=-1)
+            theta = jnp.arctan2(norm, jnp.sum(y_c * y_a, axis=-1))
+            # cross ~ 0 happens BOTH at theta ~ 0 (no update needed) and at
+            # theta ~ pi (antiparallel solve — the rotation axis is
+            # ambiguous, and normalize_vector's fallback axis would commit
+            # an arbitrary alpha*180deg tilt): skip the update in either
+            # case by zeroing theta.  An antiparallel y-solve is exactly
+            # the flip mode this branch exists to reject.
+            theta = jnp.where(norm < 1e-6, 0.0, theta)
+            axis = rot.normalize_vector(axis)
+            r_abs = rot.axis_theta_to_matrix(
                 axis, rot_fit_alpha * theta) @ merged.rotation
         elif rot_fit == "fused":
             r_abs = rot.so3_interpolate(merged.rotation, r_abs,

@@ -133,7 +133,10 @@ def restore_state(ckpt: dict, state):
             # orbax format: rebuild the optax NamedTuple structure from the
             # live state's treedef (keys are zero-padded flatten indices)
             saved = ckpt["opt_state_leaves"]
-            leaves = [jnp.asarray(saved[k]) for k in sorted(saved)]
+            # numeric sort: zero-padding covers 4 digits, but >=10000
+            # leaves would sort lexicographically ("10000" < "9999") and
+            # silently permute moments while the count check still passes
+            leaves = [jnp.asarray(saved[k]) for k in sorted(saved, key=int)]
             treedef = jax.tree.structure(state.opt_state)
             if treedef.num_leaves != len(leaves):
                 raise ValueError("optimizer leaf-count drift")

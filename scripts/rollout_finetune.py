@@ -53,6 +53,16 @@ def main():
     args = ap.parse_args()
     eval_at = sorted({int(s) for s in args.eval_at.split(",")}) \
         if args.eval_at else [args.rounds]
+    # budgets past --rounds would silently never fire, and rounds after the
+    # last budget would train without ever being evaluated or checkpointed
+    # (snapshots happen only at eval rounds) — reconcile loudly instead
+    if eval_at[-1] != args.rounds:
+        bad = [b for b in eval_at if b > args.rounds]
+        if bad:
+            ap.error(f"--eval_at budgets {bad} exceed --rounds={args.rounds}")
+        print(f"# note: appending final budget {args.rounds} to eval_at "
+              f"(rounds after {eval_at[-1]} would otherwise be discarded)")
+        eval_at.append(args.rounds)
 
     import jax
     import jax.numpy as jnp

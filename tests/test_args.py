@@ -1,0 +1,45 @@
+"""CLI flag -> config-override semantics (captra_tpu.cli.args).
+
+The reference applies CLI slash-path overrides onto the merged YAML dict
+(configs/config.py:8-18); the subtlety covered here is explicit booleans:
+`--track_cfg/gt_label false` must REACH the config (to turn off a
+YAML-enabled key), while untouched flags and action="store_true" defaults
+must not.
+"""
+import argparse
+
+from captra_tpu.cli.args import add_args, config_overrides
+from captra_tpu.config import get_config
+
+
+def _parse(argv):
+    return add_args(argparse.ArgumentParser()).parse_args(argv)
+
+
+def test_unset_flags_produce_no_overrides():
+    out = config_overrides(_parse([]))
+    assert out == {}
+
+
+def test_explicit_false_boolean_is_an_override():
+    args = _parse(["--track_cfg/conf_weighted_delta", "false",
+                   "--track_cfg/gt_label", "false"])
+    out = config_overrides(args)
+    assert out["track_cfg/conf_weighted_delta"] is False
+    assert out["track_cfg/gt_label"] is False
+
+
+def test_store_true_flags_never_leak_into_overrides():
+    args = _parse(["--save", "--no_eval"])
+    assert config_overrides(args) == {}
+
+
+def test_explicit_false_disables_yaml_enabled_key():
+    # config_track.yml leaves conf_weighted_delta off; enable it via one
+    # override and confirm a False override wins over a True one end to end
+    on = get_config("config_track.yml",
+                    {"track_cfg/conf_weighted_delta": True})
+    assert on.track.conf_weighted_delta is True
+    off_args = _parse(["--track_cfg/conf_weighted_delta", "false"])
+    off = get_config("config_track.yml", config_overrides(off_args))
+    assert off.track.conf_weighted_delta is False

@@ -478,3 +478,59 @@ def test_rot_fit_sym_corrects_axis_keeps_spin(key):
     R_half = np.asarray(axis_theta_to_matrix(jnp.asarray(ax),
                                              jnp.asarray(0.5 * th)))
     np.testing.assert_allclose(R_fused, R_half @ R_delta, atol=1e-4)
+
+
+def test_rot_fit_fused_sym_antiparallel_keeps_carried(key):
+    """Antiparallel y-solve (the flip mode): cross(y_c, y_a) ~ 0 with
+    theta ~ pi, where normalize_vector's fallback axis would otherwise
+    commit an arbitrary alpha*180deg tilt.  fused must keep the carried
+    rotation exactly."""
+    import numpy as np
+
+    from captra_tpu.config.schema import TrackCfg
+
+    obj = rigid_obj(sym=True)
+    N = 64
+    base = tiny_config().replace(obj=obj, num_points=N)
+
+    tr = make_trajectory(seed=11, obj=obj, num_frames=2, num_points=N,
+                         noise=0.0)
+    batch = batch_trajectories([tr])
+    pts0 = batch["points"][0]
+    frames = {"points": jnp.stack([pts0, pts0])}  # static scene
+    init = batch["pose"].map(lambda x: x[0])
+    nocs0 = batch["nocs"][0]
+
+    # pred NPCS = GT NPCS rotated 180deg about canonical x: the masked
+    # Procrustes solve returns exactly R_gt @ Rx(pi) (and the sym 2D
+    # refinement is identity on this construction), so the solved y-axis
+    # is exactly -y_carried
+    rxpi = jnp.asarray(np.diag([1.0, -1.0, -1.0]).astype(np.float32))
+
+    def coord_fn(canon_pts):
+        B = canon_pts.shape[0]
+        return {"seg": jnp.ones((B, N, 1)), "nocs": nocs0 @ rxpi}
+
+    y_ident = jnp.asarray([0.0, 1.0, 0.0])
+
+    def rot_fn(parts, labels):  # identity delta (sym head: y-vec)
+        B, P = parts.shape[0], parts.shape[1]
+        rt = jnp.broadcast_to(y_ident, (B, P, 3))
+        return {"rtvec": rt,
+                "point_rtvec": jnp.broadcast_to(rt[:, :, None],
+                                                (B, P, N, 3))}
+
+    def run(mode):
+        cfg = base.replace(track=TrackCfg(init_frame_gt=True, rot_fit=mode))
+        step = make_track_step(cfg, coord_fn, rot_fn)
+        _, aux = jax.jit(
+            lambda ip, fr: track_trajectory(step, ip, fr))(init, frames)
+        return np.asarray(aux.pose.rotation)[0, 0, 0]
+
+    R_delta = run("delta")
+    R_fused = run("fused")
+    # sanity: the solve really is antiparallel (npcs takes it verbatim)
+    R_npcs = run("npcs")
+    assert np.dot(R_delta[:, 1], R_npcs[:, 1]) < -0.99
+    # fused: ambiguous-axis update skipped -> carried rotation, exactly
+    np.testing.assert_allclose(R_fused, R_delta, atol=1e-6)
