@@ -93,6 +93,10 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
            "blend (deviation when not 'delta')")
     a("--track_cfg/rot_fit_alpha", type=float, default=None,
       help="fused-mode blend weight toward the NPCS solve (0..1)")
+    a("--track_cfg/delta_gain", type=float, default=None,
+      help="scale the regressed delta's rotation angle before composition "
+           "(deviation when != 1; counteracts the measured under-correction "
+           "equilibrium, see EVIDENCE.md)")
 
     a("--ckpt_format", type=str, default="pickle",
       choices=["pickle", "orbax"],

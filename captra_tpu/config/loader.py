@@ -164,6 +164,7 @@ def get_config(config: str = "config_track.yml",
         rot_fit=_choice(tc.get("rot_fit", "delta"),
                         ("delta", "npcs", "fused"), "track_cfg/rot_fit"),
         rot_fit_alpha=float(tc.get("rot_fit_alpha", 0.5)),
+        delta_gain=float(tc.get("delta_gain", 1.0)),
     )
 
     optim = OptimCfg(

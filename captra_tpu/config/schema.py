@@ -148,6 +148,16 @@ class TrackCfg:
     #             (the absolute measurement bounds the delta drift)
     rot_fit: str = "delta"
     rot_fit_alpha: float = 0.5
+    # != 1 scales the regressed delta's rotation ANGLE before composition
+    # (deviation; the reference composes the delta verbatim,
+    # networks.py:205-208).  Motivation: the measured under-correction
+    # equilibrium (EVIDENCE.md round-3) — the regressor corrects a roughly
+    # constant fraction f < 1 of its input canonicalization error at any
+    # training scale, so the tracked drift settles where per-frame motion
+    # error balances f * drift; a gain of ~1/f restores unit loop gain
+    # (proportional control), at the cost of amplifying per-frame noise by
+    # the same factor
+    delta_gain: float = 1.0
 
 
 @dataclass(frozen=True)

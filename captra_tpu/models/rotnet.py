@@ -121,7 +121,8 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
                        num_parts: int, sym: bool,
                        scale_clamp: float = 0.0,
                        rot_fit: str = "delta",
-                       rot_fit_alpha: float = 0.5) -> Pose:
+                       rot_fit_alpha: float = 0.5,
+                       delta_gain: float = 1.0) -> Pose:
     """Tracking-mode pose update (reference networks.py:210-232):
     R_new = R_state @ R_delta, then fit s/t from predicted NPCS with validity
     fallback to the previous pose.
@@ -146,6 +147,13 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
     axis-only update); "fused" on sym parts blends only the y-axis
     direction, preserving the carried spin (see inline comment).
     """
+    if delta_gain != 1.0:
+        # DEVIATION (opt-in, TrackCfg.delta_gain): scale the delta's
+        # rotation angle about its own axis — exp(g * log(delta)).  At
+        # theta ~ 0 the decoded axis is arbitrary but g * theta ~ 0 too,
+        # so the amplified delta stays ~identity (no guard needed).
+        axis, theta = rot.matrix_to_axis_theta(delta_rotation)
+        delta_rotation = rot.axis_theta_to_matrix(axis, delta_gain * theta)
     merged = merge_delta_pose(state, delta_rotation=delta_rotation)
     cam = (points + points_mean[:, None])[:, None]  # [B, 1, N, 3]
     cam = jnp.broadcast_to(cam, pred_nocs.shape)

@@ -219,7 +219,8 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                                       num_parts=obj.num_parts, sym=obj.sym,
                                       scale_clamp=cfg.track.scale_clamp,
                                       rot_fit=cfg.track.rot_fit,
-                                      rot_fit_alpha=cfg.track.rot_fit_alpha)
+                                      rot_fit_alpha=cfg.track.rot_fit_alpha,
+                                      delta_gain=cfg.track.delta_gain)
         return new_pose, TrackAux(pose=new_pose, pred_labels=pred_labels,
                                   seg=seg, nocs=nocs)
 

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--rot_fit", default="delta",
                     choices=["delta", "npcs", "fused"])
     ap.add_argument("--rot_fit_alpha", type=float, default=0.5)
+    ap.add_argument("--delta_gain", type=float, default=1.0,
+                    help="amplify the regressed delta's rotation angle "
+                         "(track_cfg/delta_gain)")
     ap.add_argument("--init_noise", action="store_true",
                     help="perturb the frame-0 pose (reference protocol "
                          "init_frame/gt=False) instead of GT init")
@@ -77,6 +80,7 @@ def main():
         "track_cfg/refine_mode": args.refine_mode,
         "track_cfg/rot_fit": args.rot_fit,
         "track_cfg/rot_fit_alpha": args.rot_fit_alpha,
+        "track_cfg/delta_gain": args.delta_gain,
     })
 
     T, B = args.frames, args.trajs

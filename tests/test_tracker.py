@@ -534,3 +534,81 @@ def test_rot_fit_fused_sym_antiparallel_keeps_carried(key):
     assert np.dot(R_delta[:, 1], R_npcs[:, 1]) < -0.99
     # fused: ambiguous-axis update skipped -> carried rotation, exactly
     np.testing.assert_allclose(R_fused, R_delta, atol=1e-6)
+
+
+def test_delta_gain_amplifies_correction(key):
+    """track_cfg/delta_gain: an under-correcting oracle (predicts only half
+    the needed delta) converges to GT with gain=2 but stalls at the
+    under-correction equilibrium with the reference default gain=1; gain=1
+    is bit-identical to the default code path (no-op branch)."""
+    from captra_tpu.config.schema import TrackCfg
+    from captra_tpu.pose.rotations import axis_theta_to_matrix
+
+    obj = rigid_obj()
+    N = 64
+    base = tiny_config().replace(obj=obj, num_points=N)
+
+    tr = make_trajectory(seed=7, obj=obj, num_frames=2, num_points=N,
+                         noise=0.0)
+    batch = batch_trajectories([tr])
+    pts0 = batch["points"][0]
+    T = 9
+    frames = {"points": jnp.stack([pts0] * T)}  # static scene
+    gt0 = batch["pose"].map(lambda x: x[0])
+    nocs0 = batch["nocs"][0]
+
+    # init pose tilted 16 deg about x from GT: the tracker must correct it
+    theta0 = np.radians(16.0)
+    tilt = axis_theta_to_matrix(jnp.asarray([1.0, 0.0, 0.0]),
+                                jnp.asarray(theta0))
+    init = Pose(rotation=gt0.rotation @ tilt, translation=gt0.translation,
+                scale=gt0.scale)
+
+    def coord_fn(canon_pts):
+        B = canon_pts.shape[0]
+        return {"seg": jnp.ones((B, N, 1)), "nocs": nocs0}
+
+    def rot_fn(parts, labels):
+        # oracle that corrects HALF the canonicalization error: the ideal
+        # delta R_d satisfies R_carried @ R_d = R_gt; recover R_carried
+        # from the canonicalized cloud via Procrustes against nocs0, then
+        # halve the correction angle (constant-fraction under-correction,
+        # the measured regime of the trained regressor)
+        from captra_tpu.pose.procrustes import similarity_fit
+        from captra_tpu.pose.rotations import (
+            axis_theta_to_matrix as a2m, matrix_to_axis_theta)
+        B, P = parts.shape[0], parts.shape[1]
+        mask = jnp.ones((B, P, N))
+        # parts: [B, P, N, 3] = carried-canonical points; nocs0 [B, N, 3]
+        r_err, _, _ = similarity_fit(
+            jnp.broadcast_to(nocs0[:, None], parts.shape), parts, mask,
+            sym=False)  # rotation taking NPCS -> carried-canon = R_c^T R_gt
+        axis, theta = matrix_to_axis_theta(r_err)
+        half = a2m(axis, 0.5 * theta)
+        rt = half.reshape(B, P, 9)
+        return {"rtvec": rt,
+                "point_rtvec": jnp.broadcast_to(rt[:, :, None],
+                                                (B, P, N, 9))}
+
+    def run(gain):
+        cfg = base.replace(track=TrackCfg(init_frame_gt=True,
+                                          delta_gain=gain))
+        step = make_track_step(cfg, coord_fn, rot_fn)
+        _, aux = jax.jit(
+            lambda ip, fr: track_trajectory(step, ip, fr))(init, frames)
+        return np.asarray(aux.pose.rotation)[:, 0, 0]  # [T, 3, 3]
+
+    R_gt = np.asarray(gt0.rotation)[0, 0]
+
+    def err_deg(R):
+        c = (np.trace(R_gt.T @ R) - 1) / 2
+        return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+    rs_g1 = run(1.0)
+    rs_g2 = run(2.0)
+    # gain=1 halves the error each frame: after T frames ~ theta0 / 2^T,
+    # but NEVER reaches zero faster than that; gain=2 cancels it in one
+    assert err_deg(rs_g2[0]) < 0.1, err_deg(rs_g2[0])
+    assert 7.0 < err_deg(rs_g1[0]) < 9.0, err_deg(rs_g1[0])
+    # gain=1.0 takes the untouched default path, bit-identical
+    np.testing.assert_array_equal(rs_g1, run(1.0))
