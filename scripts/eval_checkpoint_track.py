@@ -40,9 +40,10 @@ def main():
     ap.add_argument("--rot_fit", default="delta",
                     choices=["delta", "npcs", "fused"])
     ap.add_argument("--rot_fit_alpha", type=float, default=0.5)
-    ap.add_argument("--delta_gain", type=float, default=1.0,
+    ap.add_argument("--delta_gain", type=str, default="1.0",
                     help="amplify the regressed delta's rotation angle "
-                         "(track_cfg/delta_gain)")
+                         "(track_cfg/delta_gain); comma-separated values "
+                         "sweep in one process")
     ap.add_argument("--init_noise", action="store_true",
                     help="perturb the frame-0 pose (reference protocol "
                          "init_frame/gt=False) instead of GT init")
@@ -80,8 +81,8 @@ def main():
         "track_cfg/refine_mode": args.refine_mode,
         "track_cfg/rot_fit": args.rot_fit,
         "track_cfg/rot_fit_alpha": args.rot_fit_alpha,
-        "track_cfg/delta_gain": args.delta_gain,
     })
+    gains = [float(g) for g in args.delta_gain.split(",")]
 
     T, B = args.frames, args.trajs
     trajs = [make_trajectory(seed=1000 + s, obj=cfg.obj, num_frames=T,
@@ -94,27 +95,34 @@ def main():
 
     coord, rotn = CoordNet(cfg), RotNet(cfg)
 
-    def track_fn(cv, rv, ip, frames):
-        step = make_track_step(
-            cfg, lambda p: coord.apply(cv, p, train=False),
-            lambda p, l: rotn.apply(rv, p, l, train=False))
-        return track_trajectory(step, ip, frames)
-
-    run = jax.jit(track_fn)
-    t0 = time.time()
-    _, aux = run(cv, rv, init_pose, {"points": data["points"]})
-    jax.block_until_ready(aux.pose.scale)
-    errs = evaluate_track(aux.pose, gt_rest, sym=cfg.obj.sym)
-    f1 = {k: float(jnp.mean(v[0])) for k, v in errs.items()}
-    full = {k: float(jnp.mean(v)) for k, v in errs.items()}
     frozen = Pose(rotation=jnp.repeat(gt.rotation[:1], T - 1, 0),
                   translation=jnp.repeat(gt.translation[:1], T - 1, 0),
                   scale=jnp.repeat(gt.scale[:1], T - 1, 0))
     fr = {k: float(jnp.mean(v)) for k, v in
           evaluate_track(frozen, gt_rest, sym=cfg.obj.sym).items()}
-    print(f"({time.time() - t0:.0f}s incl. compile)")
-    print("frame-1    ", {k: round(v, 4) for k, v in f1.items()})
-    print("full-scan  ", {k: round(v, 4) for k, v in full.items()})
+
+    import dataclasses
+    for g in gains:
+        cfg_g = cfg.replace(track=dataclasses.replace(cfg.track,
+                                                      delta_gain=g))
+
+        def track_fn(cv, rv, ip, frames, cfg_g=cfg_g):
+            step = make_track_step(
+                cfg_g, lambda p: coord.apply(cv, p, train=False),
+                lambda p, l: rotn.apply(rv, p, l, train=False))
+            return track_trajectory(step, ip, frames)
+
+        run = jax.jit(track_fn)
+        t0 = time.time()
+        _, aux = run(cv, rv, init_pose, {"points": data["points"]})
+        jax.block_until_ready(aux.pose.scale)
+        errs = evaluate_track(aux.pose, gt_rest, sym=cfg.obj.sym)
+        f1 = {k: float(jnp.mean(v[0])) for k, v in errs.items()}
+        full = {k: float(jnp.mean(v)) for k, v in errs.items()}
+        tag = f"[gain={g}] " if len(gains) > 1 else ""
+        print(f"{tag}({time.time() - t0:.0f}s incl. compile)")
+        print(tag + "frame-1    ", {k: round(v, 4) for k, v in f1.items()})
+        print(tag + "full-scan  ", {k: round(v, 4) for k, v in full.items()})
     print("frozen-init", {k: round(v, 4) for k, v in fr.items()})
 
 
