@@ -97,6 +97,11 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
       help="scale the regressed delta's rotation angle before composition "
            "(deviation when != 1; counteracts the measured under-correction "
            "equilibrium, see EVIDENCE.md)")
+    a("--track_cfg/fit_ransac", type=int, default=None,
+      help="RANSAC hypotheses for the tracking-time pose fits (deviation "
+           "when > 0; outlier rejection for real sensor data)")
+    a("--track_cfg/fit_ransac_th", type=float, default=None,
+      help="RANSAC inlier threshold in camera meters")
 
     a("--ckpt_format", type=str, default="pickle",
       choices=["pickle", "orbax"],

@@ -165,6 +165,8 @@ def get_config(config: str = "config_track.yml",
                         ("delta", "npcs", "fused"), "track_cfg/rot_fit"),
         rot_fit_alpha=float(tc.get("rot_fit_alpha", 0.5)),
         delta_gain=float(tc.get("delta_gain", 1.0)),
+        fit_ransac=int(tc.get("fit_ransac", 0)),
+        fit_ransac_th=float(tc.get("fit_ransac_th", 0.01)),
     )
 
     optim = OptimCfg(

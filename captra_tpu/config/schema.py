@@ -158,6 +158,16 @@ class TrackCfg:
     # (proportional control), at the cost of amplifying per-frame noise by
     # the same factor
     delta_gain: float = 1.0
+    # > 0 enables in-graph RANSAC outlier rejection in the tracking-time
+    # pose fits with that many 3-point hypotheses (deviation; the
+    # reference's tracking fit is explicitly part_fit_st_NO_ransac,
+    # pose_utils/pose_fit.py:38-53 — it only runs RANSAC offline,
+    # align_pose.py:49-93).  For real sensor data where segmentation leaks
+    # background points into the part mask; robustifies both the s/t fit
+    # and (when rot_fit != "delta") the absolute rotation solve
+    fit_ransac: int = 0
+    # camera-space inlier threshold for fit_ransac, meters
+    fit_ransac_th: float = 0.01
 
 
 @dataclass(frozen=True)

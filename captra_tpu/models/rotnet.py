@@ -122,7 +122,10 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
                        scale_clamp: float = 0.0,
                        rot_fit: str = "delta",
                        rot_fit_alpha: float = 0.5,
-                       delta_gain: float = 1.0) -> Pose:
+                       delta_gain: float = 1.0,
+                       fit_ransac: int = 0,
+                       fit_ransac_th: float = 0.01,
+                       key: jnp.ndarray | None = None) -> Pose:
     """Tracking-mode pose update (reference networks.py:210-232):
     R_new = R_state @ R_delta, then fit s/t from predicted NPCS with validity
     fallback to the previous pose.
@@ -157,10 +160,23 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
     merged = merge_delta_pose(state, delta_rotation=delta_rotation)
     cam = (points + points_mean[:, None])[:, None]  # [B, 1, N, 3]
     cam = jnp.broadcast_to(cam, pred_nocs.shape)
+    if fit_ransac > 0 and key is None:
+        key = jax.random.PRNGKey(0)
     if rot_fit != "delta":
-        from captra_tpu.pose.procrustes import similarity_fit
         mask = labels_to_part_mask(labels, num_parts)      # [B, P, N]
-        r_abs, _, _ = similarity_fit(pred_nocs, cam, mask, sym=sym)
+        if fit_ransac > 0:
+            # RANSAC deviation (TrackCfg.fit_ransac): outlier-robust
+            # absolute solve — segmentation leaks on real sensor data put
+            # background points inside the part mask, and the LS solve has
+            # no breakdown resistance
+            from captra_tpu.pose.procrustes import similarity_fit_ransac
+            kr, key = jax.random.split(key)
+            r_abs, _, _, _ = similarity_fit_ransac(
+                pred_nocs, cam, mask, kr, num_hyps=fit_ransac,
+                inlier_th=fit_ransac_th, sym=sym)
+        else:
+            from captra_tpu.pose.procrustes import similarity_fit
+            r_abs, _, _ = similarity_fit(pred_nocs, cam, mask, sym=sym)
         if rot_fit == "fused" and sym:
             # Sym + blend: the solve's y-spin can flip between competing
             # azimuth modes frame-to-frame (near-symmetric geometry), and
@@ -201,7 +217,9 @@ def compose_track_pose(state: Pose, delta_rotation: jnp.ndarray,
     # deviation, see pose_fit.filter_valid
     fitted, valid = part_fit_st(labels, pred_nocs, cam, merged.rotation,
                                 num_parts=num_parts, sym=sym,
-                                min_scale=1e-4)
+                                min_scale=1e-4,
+                                ransac_hyps=fit_ransac,
+                                ransac_th=fit_ransac_th, key=key)
     vf = valid.astype(jnp.float32)
     fitted_scale = fitted.scale
     if scale_clamp > 0.0:

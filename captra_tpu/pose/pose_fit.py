@@ -7,12 +7,13 @@ y-axis refinement for symmetric categories).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from captra_tpu.utils.precision import f32_precision
 
 from captra_tpu.pose.part_dof import Pose
-from captra_tpu.pose.procrustes import similarity_fit
+from captra_tpu.pose.procrustes import similarity_fit, similarity_fit_ransac
 
 
 def labels_to_part_mask(labels: jnp.ndarray, num_parts: int,
@@ -53,20 +54,34 @@ def part_fit_st(labels: jnp.ndarray, source: jnp.ndarray,
                 target: jnp.ndarray, rotation: jnp.ndarray,
                 num_parts: int, sym: bool,
                 given_scale: jnp.ndarray | None = None,
-                min_scale: float | None = None):
+                min_scale: float | None = None,
+                ransac_hyps: int = 0, ransac_th: float = 0.01,
+                key: jnp.ndarray | None = None):
     """Fit per-part scale + translation given rotation.
 
     labels [B, N]; source (pred NPCS per part) [B, P, N, 3]; target (camera
     points) [B, P, N, 3]; rotation [B, P, 3, 3].  Returns (Pose [B, P],
     valid [B, P] bool) — valid requires > 3 in-part points and finite fit
     (reference part_fit_st_no_ransac, pose_fit.py:38-53; see filter_valid
-    for the optional tracking-only min_scale floor)."""
+    for the optional tracking-only min_scale floor).
+
+    ransac_hyps > 0 (tracking-only DEVIATION, TrackCfg.fit_ransac — the
+    reference fit is explicitly *_no_ransac) rejects outliers with a
+    similarity_fit_ransac pass before the LS fit; incompatible with
+    given_scale (a training-path argument the tracking path never sets)."""
     mask = labels_to_part_mask(labels, num_parts)  # [B, P, N]
     valid = jnp.sum(mask, axis=-1) > 3
 
-    _, scale, translation = similarity_fit(
-        source, target, mask, given_scale=given_scale, rotation=rotation,
-        sym=sym)
+    if ransac_hyps > 0 and given_scale is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        _, scale, translation, _ = similarity_fit_ransac(
+            source, target, mask, key, num_hyps=ransac_hyps,
+            inlier_th=ransac_th, rotation=rotation, sym=sym)
+    else:
+        _, scale, translation = similarity_fit(
+            source, target, mask, given_scale=given_scale, rotation=rotation,
+            sym=sym)
     # The sym-refined rotation is used only for the s/t fit; the returned pose
     # keeps the given rotation (reference pose_fit.py:48-50 discards it too).
     pose = Pose(rotation=rotation, translation=translation, scale=scale)

@@ -186,3 +186,81 @@ def similarity_fit(source: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray,
     posed_src = scale[..., None, None] * (source @ jnp.swapaxes(rotation, -1, -2))
     translation = translation_fit(posed_src, target, mask)
     return rotation, scale, translation
+
+
+@f32_precision
+def similarity_fit_ransac(source: jnp.ndarray, target: jnp.ndarray,
+                          mask: jnp.ndarray, key: jax.Array,
+                          num_hyps: int = 32, inlier_th: float = 0.01,
+                          min_inliers: int = 4,
+                          rotation: jnp.ndarray | None = None,
+                          sym: bool = False):
+    """RANSAC-robust masked similarity fit, fully in-graph (fixed shapes).
+
+    Same contract as `similarity_fit` plus outlier rejection: `num_hyps`
+    3-point hypotheses are drawn from the masked points (Gumbel top-3, so
+    sampling is exact without materializing index lists), each is fit in
+    closed form, scored by its inlier count (camera-space residual <
+    `inlier_th`, metric units), and the best hypothesis's inliers get the
+    final least-squares refit.  If the best hypothesis has fewer than
+    `min_inliers` inliers the full-mask LS fit is returned instead (the
+    degenerate-fit semantics of the plain path are preserved).
+
+    The reference only runs RANSAC offline (align_pose.py:49-93, the
+    preprocessing pose extraction — mirrored by data/preproc_nocs.py
+    ::umeyama_ransac, whose hypothesis/score/refit scheme this follows);
+    its tracking fit is explicitly `part_fit_st_no_ransac`
+    (pose_utils/pose_fit.py:38-53).  Using this at tracking time is
+    therefore an opt-in DEVIATION (TrackCfg.fit_ransac) for real sensor
+    data where segmentation leaks background points into the part mask.
+
+    Returns (rotation [..., 3, 3], scale [...], translation [..., 3, 1],
+    inlier_mask [..., N]).
+    """
+    lead = mask.shape[:-1]          # e.g. (B, P)
+    N = mask.shape[-1]
+    src = jnp.broadcast_to(source, lead + (N, 3))
+    tgt = jnp.broadcast_to(target, lead + (N, 3))
+
+    # --- hypothesis sampling: 3 distinct masked indices per hypothesis ----
+    g = jax.random.gumbel(key, lead + (num_hyps, N))
+    scores = jnp.where(mask[..., None, :] > 0, g, -jnp.inf)
+    _, idx3 = jax.lax.top_k(scores, 3)                 # [..., H, 3]
+    take = lambda pts: jnp.take_along_axis(            # [..., H, 3, 3]
+        pts[..., None, :, :], idx3[..., None], axis=-2)
+    s3, t3 = take(src), take(tgt)
+
+    # --- closed-form hypothesis fits --------------------------------------
+    s3_c = s3 - jnp.mean(s3, axis=-2, keepdims=True)
+    t3_c = t3 - jnp.mean(t3, axis=-2, keepdims=True)
+    if rotation is None:
+        R_h = kabsch_rotation(s3_c, t3_c)              # [..., H, 3, 3]
+    else:
+        R_h = jnp.broadcast_to(rotation[..., None, :, :],
+                               lead + (num_hyps, 3, 3))
+    rot_s3 = s3_c @ jnp.swapaxes(R_h, -1, -2)
+    scale_h = (jnp.sum(rot_s3 * t3_c, axis=(-1, -2)) /
+               jnp.maximum(jnp.sum(s3_c * s3_c, axis=(-1, -2)), EPS))
+    trans_h = jnp.mean(
+        t3 - scale_h[..., None, None] * (s3 @ jnp.swapaxes(R_h, -1, -2)),
+        axis=-2)                                       # [..., H, 3]
+
+    # --- score every hypothesis against all masked points -----------------
+    posed = (scale_h[..., None, None] *
+             (src[..., None, :, :] @ jnp.swapaxes(R_h, -1, -2)) +
+             trans_h[..., None, :])                    # [..., H, N, 3]
+    err = jnp.linalg.norm(tgt[..., None, :, :] - posed, axis=-1)
+    inl = (err < inlier_th) & (mask[..., None, :] > 0)  # [..., H, N]
+    counts = jnp.sum(inl, axis=-1)                      # [..., H]
+    best = jnp.argmax(counts, axis=-1)                  # [...]
+    best_inl = jnp.take_along_axis(
+        inl, best[..., None, None], axis=-2)[..., 0, :]  # [..., N]
+    best_count = jnp.take_along_axis(counts, best[..., None],
+                                     axis=-1)[..., 0]
+
+    # --- final LS refit on the inliers (full mask if degenerate) ----------
+    ok = best_count >= min_inliers
+    refit_mask = jnp.where(ok[..., None], best_inl.astype(mask.dtype), mask)
+    R, s, t = similarity_fit(source, target, refit_mask,
+                             rotation=rotation, sym=sym)
+    return R, s, t, refit_mask

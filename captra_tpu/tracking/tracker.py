@@ -167,6 +167,16 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
         model.py:454-476).  With invert_delta the TRANSPOSE of the decoded
         rotation delta is composed instead — used by the debias refinement
         mode (see step)."""
+        # per-frame RNG for the opt-in RANSAC fits: fold in the frame index
+        # when the pipeline carries one (the OTF path always does); a
+        # key-less frame stream reuses one hypothesis pattern per frame,
+        # which still varies with the points/mask — documented fallback
+        fit_key = None
+        if cfg.track.fit_ransac > 0:
+            fit_key = jax.random.PRNGKey(13)
+            if "key" in frame:
+                fit_key = jax.random.fold_in(fit_key, frame["key"])
+
         # CoordNet in the root part's previous frame (model.py:457-463)
         root_pose = Pose(rotation=pose.rotation[:, root],
                          translation=pose.translation[:, root],
@@ -220,7 +230,10 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                                       scale_clamp=cfg.track.scale_clamp,
                                       rot_fit=cfg.track.rot_fit,
                                       rot_fit_alpha=cfg.track.rot_fit_alpha,
-                                      delta_gain=cfg.track.delta_gain)
+                                      delta_gain=cfg.track.delta_gain,
+                                      fit_ransac=cfg.track.fit_ransac,
+                                      fit_ransac_th=cfg.track.fit_ransac_th,
+                                      key=fit_key)
         return new_pose, TrackAux(pose=new_pose, pred_labels=pred_labels,
                                   seg=seg, nocs=nocs)
 

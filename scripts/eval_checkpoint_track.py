@@ -44,6 +44,10 @@ def main():
                     help="amplify the regressed delta's rotation angle "
                          "(track_cfg/delta_gain); comma-separated values "
                          "sweep in one process")
+    ap.add_argument("--fit_ransac", type=int, default=0,
+                    help="RANSAC hypotheses for the tracking-time fits "
+                         "(track_cfg/fit_ransac)")
+    ap.add_argument("--fit_ransac_th", type=float, default=0.01)
     ap.add_argument("--init_noise", action="store_true",
                     help="perturb the frame-0 pose (reference protocol "
                          "init_frame/gt=False) instead of GT init")
@@ -81,6 +85,8 @@ def main():
         "track_cfg/refine_mode": args.refine_mode,
         "track_cfg/rot_fit": args.rot_fit,
         "track_cfg/rot_fit_alpha": args.rot_fit_alpha,
+        "track_cfg/fit_ransac": args.fit_ransac,
+        "track_cfg/fit_ransac_th": args.fit_ransac_th,
     })
     gains = [float(g) for g in args.delta_gain.split(",")]
 

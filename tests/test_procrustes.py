@@ -164,3 +164,103 @@ def test_similarity_fit_jit_grad(rng):
 
     g = jax.jit(jax.grad(loss))(src)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_similarity_fit_ransac_rejects_outliers(rng):
+    """20% gross outliers: the LS fit's scale/translation are corrupted
+    but the RANSAC fit recovers the exact transform from the inliers
+    (reference runs this scheme offline only, align_pose.py:49-93)."""
+    B, P, N = 2, 2, 256
+    R = random_rotation(rng, B, P)
+    s = rng.uniform(0.8, 1.8, (B, P)).astype(np.float32)
+    t = rng.randn(B, P, 3, 1).astype(np.float32)
+    src = rng.uniform(-0.5, 0.5, (B, P, N, 3)).astype(np.float32)
+    tgt = (s[..., None, None] * (src @ np.swapaxes(R, -1, -2))
+           + np.swapaxes(t, -1, -2)).astype(np.float32)
+    # structured outliers: one far blob (e.g. background leak) on 20%
+    n_out = N // 5
+    tgt_bad = tgt.copy()
+    tgt_bad[..., :n_out, :] += np.asarray([0.5, 0.8, -0.4], np.float32)
+    mask = np.ones((B, P, N), np.float32)
+
+    _, s_ls, t_ls = pr.similarity_fit(
+        jnp.asarray(src), jnp.asarray(tgt_bad), jnp.asarray(mask))
+    R_ra, s_ra, t_ra, inl = pr.similarity_fit_ransac(
+        jnp.asarray(src), jnp.asarray(tgt_bad), jnp.asarray(mask),
+        jax.random.PRNGKey(0), num_hyps=64, inlier_th=0.01)
+
+    # LS is visibly corrupted; RANSAC recovers exactly (inliers are exact)
+    assert np.max(np.abs(np.asarray(t_ls) - t)) > 0.05
+    np.testing.assert_allclose(np.asarray(R_ra), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s_ra), s, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(t_ra), t, atol=1e-3)
+    # the inlier mask found exactly the clean points
+    np.testing.assert_array_equal(np.asarray(inl[..., :n_out]), 0.0)
+    np.testing.assert_array_equal(np.asarray(inl[..., n_out:]), 1.0)
+
+
+def test_similarity_fit_ransac_clean_matches_ls(rng):
+    """No outliers: every point is an inlier, so the refit equals the plain
+    LS fit on the full mask."""
+    B, P, N = 1, 2, 128
+    R = random_rotation(rng, B, P)
+    s = rng.uniform(0.8, 1.8, (B, P)).astype(np.float32)
+    t = rng.randn(B, P, 3, 1).astype(np.float32)
+    src = rng.uniform(-0.5, 0.5, (B, P, N, 3)).astype(np.float32)
+    tgt = (s[..., None, None] * (src @ np.swapaxes(R, -1, -2))
+           + np.swapaxes(t, -1, -2)).astype(np.float32)
+    mask = np.ones((B, P, N), np.float32)
+    R_ls, s_ls, t_ls = pr.similarity_fit(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask))
+    R_ra, s_ra, t_ra, inl = pr.similarity_fit_ransac(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+        jax.random.PRNGKey(3), num_hyps=16, inlier_th=0.01)
+    np.testing.assert_allclose(np.asarray(R_ra), np.asarray(R_ls), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(inl), mask)
+
+
+def test_similarity_fit_ransac_degenerate_falls_back(rng):
+    """Fewer than min_inliers maskable points: the fit must return the
+    full-mask LS result, not garbage from a 3-point hypothesis."""
+    B, P, N = 1, 1, 64
+    src = rng.uniform(-0.5, 0.5, (B, P, N, 3)).astype(np.float32)
+    # pure noise target: no hypothesis can gather >= 4 inliers at th=1e-4
+    tgt = rng.uniform(-0.5, 0.5, (B, P, N, 3)).astype(np.float32)
+    mask = np.ones((B, P, N), np.float32)
+    R_ls, s_ls, t_ls = pr.similarity_fit(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask))
+    R_ra, s_ra, t_ra, inl = pr.similarity_fit_ransac(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+        jax.random.PRNGKey(1), num_hyps=8, inlier_th=1e-4)
+    np.testing.assert_allclose(np.asarray(R_ra), np.asarray(R_ls), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_ra), np.asarray(s_ls), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(inl), mask)
+
+
+def test_part_fit_st_ransac_given_rotation(rng):
+    """part_fit_st with ransac_hyps > 0 recovers exact s/t under outliers
+    with the rotation given (the tracking path's fit)."""
+    B, P, N = 1, 2, 200
+    R = random_rotation(rng, B, P)
+    s = rng.uniform(0.8, 1.8, (B, P)).astype(np.float32)
+    t = rng.randn(B, P, 3, 1).astype(np.float32)
+    src = rng.uniform(-0.5, 0.5, (B, P, N, 3)).astype(np.float32)
+    tgt = (s[..., None, None] * (src @ np.swapaxes(R, -1, -2))
+           + np.swapaxes(t, -1, -2)).astype(np.float32)
+    tgt_bad = tgt.copy()
+    tgt_bad[..., :N // 5, :] += np.asarray([0.6, -0.3, 0.5], np.float32)
+    # labels: point n belongs to part n % P (both parts populated)
+    labels = np.arange(N) % P
+    labels = np.broadcast_to(labels, (B, N)).astype(np.int32)
+    # per-part source/target views (the tracking layout)
+    pose_ls, _ = pose_fit.part_fit_st(
+        jnp.asarray(labels), jnp.asarray(src), jnp.asarray(tgt_bad),
+        jnp.asarray(R), num_parts=P, sym=False)
+    pose_ra, valid = pose_fit.part_fit_st(
+        jnp.asarray(labels), jnp.asarray(src), jnp.asarray(tgt_bad),
+        jnp.asarray(R), num_parts=P, sym=False,
+        ransac_hyps=64, ransac_th=0.01, key=jax.random.PRNGKey(2))
+    assert np.max(np.abs(np.asarray(pose_ls.translation) - t)) > 0.02
+    np.testing.assert_allclose(np.asarray(pose_ra.scale), s, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(pose_ra.translation), t, atol=1e-3)
+    assert bool(np.all(np.asarray(valid)))

@@ -612,3 +612,57 @@ def test_delta_gain_amplifies_correction(key):
     assert 7.0 < err_deg(rs_g1[0]) < 9.0, err_deg(rs_g1[0])
     # gain=1.0 takes the untouched default path, bit-identical
     np.testing.assert_array_equal(rs_g1, run(1.0))
+
+
+def test_fit_ransac_survives_segmentation_leak(key):
+    """track_cfg/fit_ransac: 20% of the cloud is displaced off the object
+    (a segmentation leak: background points labeled as the part).  The
+    reference-default LS fit absorbs the leak into s/t; the RANSAC fit
+    rejects it and stays at the oracle optimum."""
+    from captra_tpu.config.schema import TrackCfg
+
+    obj = rigid_obj()
+    N = 128
+    base = tiny_config().replace(obj=obj, num_points=N)
+
+    tr = make_trajectory(seed=11, obj=obj, num_frames=2, num_points=N,
+                         noise=0.0)
+    batch = batch_trajectories([tr])
+    pts0 = np.asarray(batch["points"][0])       # [1, N, 3] true camera pts
+    leak = pts0.copy()
+    leak[:, : N // 5] += np.asarray([0.4, 0.5, -0.3], np.float32)  # blob
+    T = 4
+    frames = {"points": jnp.stack([jnp.asarray(leak)] * T)}
+    gt0 = batch["pose"].map(lambda x: x[0])
+    nocs0 = batch["nocs"][0]
+
+    def coord_fn(canon_pts):
+        B = canon_pts.shape[0]
+        return {"seg": jnp.ones((B, N, 1)), "nocs": nocs0}
+
+    def rot_fn(parts, labels):  # identity delta: rotation stays at GT
+        B, P = parts.shape[0], parts.shape[1]
+        rt = jnp.broadcast_to(jnp.eye(3).reshape(9), (B, P, 9))
+        return {"rtvec": rt,
+                "point_rtvec": jnp.broadcast_to(rt[:, :, None],
+                                                (B, P, N, 9))}
+
+    def run(hyps):
+        cfg = base.replace(track=TrackCfg(init_frame_gt=True,
+                                          fit_ransac=hyps,
+                                          fit_ransac_th=0.01))
+        step = make_track_step(cfg, coord_fn, rot_fn)
+        _, aux = jax.jit(
+            lambda ip, fr: track_trajectory(step, ip, fr))(gt0, frames)
+        p = aux.pose
+        terr = np.linalg.norm(
+            np.asarray(p.translation - gt0.translation)[..., 0], axis=-1)
+        serr = np.abs(np.asarray(p.scale - gt0.scale))
+        return float(terr.max()), float(serr.max())
+
+    t_ls, s_ls = run(0)
+    t_ra, s_ra = run(32)
+    # LS absorbs ~20% of the blob offset into translation
+    assert t_ls > 0.02, t_ls
+    assert t_ra < 1e-3, t_ra
+    assert s_ra < 1e-3, (s_ra, s_ls)
