@@ -222,6 +222,15 @@ def similarity_fit_ransac(source: jnp.ndarray, target: jnp.ndarray,
     src = jnp.broadcast_to(source, lead + (N, 3))
     tgt = jnp.broadcast_to(target, lead + (N, 3))
 
+    if rotation is not None and sym:
+        # Sym + given rotation: the carried spin is free up to azimuth, so
+        # scoring residuals against the unrefined rotation would reject
+        # every point whenever the spin is off and always fall back.
+        # Azimuth-refine once (closed-form 2D, full-mask LS) before
+        # hypothesis scoring; the final refit re-refines on the inliers.
+        rotation, _, _ = similarity_fit(source, target, mask,
+                                        rotation=rotation, sym=True)
+
     # --- hypothesis sampling: 3 distinct masked indices per hypothesis ----
     g = jax.random.gumbel(key, lead + (num_hyps, N))
     scores = jnp.where(mask[..., None, :] > 0, g, -jnp.inf)

@@ -8,6 +8,13 @@ import os
 
 # Must be set before the backend initializes (lazily, at first jax use).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests get their own persistent-compile-cache dir: a pytest run sharing
+# .jax_cache with a concurrent TPU job segfaulted inside the cache write
+# (zstd) twice — cache contention between processes is not worth the reuse
+# (CLI e2e tests call enable_compile_cache, which honors this override).
+os.environ.setdefault("CAPTRA_COMPILE_CACHE", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_tests"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -264,3 +264,33 @@ def test_part_fit_st_ransac_given_rotation(rng):
     np.testing.assert_allclose(np.asarray(pose_ra.scale), s, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(pose_ra.translation), t, atol=1e-3)
     assert bool(np.all(np.asarray(valid)))
+
+
+def test_part_fit_st_ransac_sym_wrong_azimuth(rng):
+    """Sym + given rotation whose y-spin is off by 40 deg: the RANSAC path
+    must azimuth-refine before scoring (else every point is an outlier and
+    it silently falls back to the corrupted LS fit)."""
+    from captra_tpu.pose import rotations as rot
+
+    B, P, N = 1, 1, 200
+    R = random_rotation(rng, B, P)
+    s = rng.uniform(0.8, 1.8, (B, P)).astype(np.float32)
+    t = rng.randn(B, P, 3, 1).astype(np.float32)
+    src = rng.uniform(-0.5, 0.5, (B, P, N, 3)).astype(np.float32)
+    tgt = (s[..., None, None] * (src @ np.swapaxes(R, -1, -2))
+           + np.swapaxes(t, -1, -2)).astype(np.float32)
+    tgt_bad = tgt.copy()
+    tgt_bad[..., :N // 5, :] += np.asarray([0.6, -0.3, 0.5], np.float32)
+    spin = np.asarray(rot.axis_theta_to_matrix(
+        jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray(np.radians(40.0))))
+    R_given = R @ spin  # wrong azimuth, correct y-axis
+    labels = np.zeros((B, N), np.int32)
+
+    pose_ra, valid = pose_fit.part_fit_st(
+        jnp.asarray(labels), jnp.asarray(src), jnp.asarray(tgt_bad),
+        jnp.asarray(R_given), num_parts=P, sym=True,
+        ransac_hyps=64, ransac_th=0.01, key=jax.random.PRNGKey(4))
+    np.testing.assert_allclose(np.asarray(pose_ra.scale), s, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(pose_ra.translation), t,
+                               atol=2e-3)
+    assert bool(np.all(np.asarray(valid)))
