@@ -36,12 +36,14 @@ def load_ref() -> types.SimpleNamespace:
     import networks            # reference network/models/networks.py
     import pointnet_utils      # reference op fallbacks
     import loss as ref_loss    # reference network/models/loss.py
-    from pose_utils import part_dof_utils, pose_fit, procrustes, rotations
+    from pose_utils import (bbox_utils, part_dof_utils, pose_fit, procrustes,
+                            rotations)
     from pose_utils import metrics as ref_metrics
     _loaded = types.SimpleNamespace(
         networks=networks, pointnet_utils=pointnet_utils, loss=ref_loss,
         part_dof_utils=part_dof_utils, pose_fit=pose_fit,
-        procrustes=procrustes, rotations=rotations, metrics=ref_metrics)
+        procrustes=procrustes, rotations=rotations, metrics=ref_metrics,
+        bbox_utils=bbox_utils)
     return _loaded
 
 
@@ -144,6 +146,45 @@ def rand_pose_np(rng: np.random.RandomState, shape) -> dict:
 def to_torch_pose(pose_np: dict):
     import torch
     return {k: torch.from_numpy(np.asarray(v)) for k, v in pose_np.items()}
+
+
+def ref_track(ref, coord_net, rot_net, init_pose_t, frames_np, num_parts,
+              root):
+    """The reference tracking recurrence (model.py:409-478), verbatim
+    semantics: CoordNet in the root's last frame, PartCanonNet per part,
+    s/t fit with validity fallback.  Returns ([T] list of torch pose dicts,
+    [T-1] list of np label arrays)."""
+    import torch
+    poses, labels_all = [init_pose_t], []
+    with torch.no_grad(), deterministic_fps():
+        for pts in frames_np[1:]:
+            pts_t = torch.from_numpy(pts)                       # [B, N, 3]
+            mean = pts_t.mean(dim=1)                            # [B, 3]
+            centered = (pts_t - mean[:, None]).transpose(-1, -2)
+            last = {k: v.clone() for k, v in poses[-1].items()}
+
+            npcs_input = {
+                "points": centered,
+                "points_mean": mean.unsqueeze(-1),
+                "canon_pose": {k: last[k][:, root].clone()
+                               for k in ("rotation", "translation", "scale")},
+                "init_part": last,
+            }
+            npcs_pred = coord_net(npcs_input)
+            pred_seg, pred_npcs = npcs_pred["seg"], npcs_pred["nocs"]
+            pred_labels = torch.max(pred_seg, dim=-2)[1]
+            pred_npcs = pred_npcs.reshape(len(pred_npcs), num_parts, 3, -1)
+
+            out = rot_net({
+                "points": centered,
+                "points_mean": mean.unsqueeze(-1),
+                "state": {"part": last},
+                "pred_labels": pred_labels,
+                "pred_nocs": pred_npcs,
+            }, test_mode=True)
+            poses.append(out["part"])
+            labels_all.append(pred_labels.numpy())
+    return poses, labels_all
 
 
 def to_jax_pose(pose_np: dict):

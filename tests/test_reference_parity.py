@@ -25,7 +25,8 @@ from captra_tpu.config.schema import (
 from captra_tpu.training import convert
 from tests.ref_compat import (
     deterministic_fps, load_ref, make_ref_cfg, prefixed_state_dict,
-    rand_pose_np, randomize_torch_module, to_jax_pose, to_torch_pose,
+    rand_pose_np, randomize_torch_module, ref_track, to_jax_pose,
+    to_torch_pose,
 )
 
 torch = pytest.importorskip("torch")
@@ -509,43 +510,6 @@ def test_track_checkpoint_splice_roundtrip(tmp_path, rng):
 # end-to-end: a tracked trajectory through both stacks, same weights
 # ---------------------------------------------------------------------------
 
-def _ref_track(ref, coord_net, rot_net, init_pose_t, frames_np, num_parts,
-               root):
-    """The reference tracking recurrence (model.py:409-478), verbatim
-    semantics: CoordNet in the root's last frame, PartCanonNet per part,
-    s/t fit with validity fallback."""
-    poses, labels_all = [init_pose_t], []
-    with torch.no_grad(), deterministic_fps():
-        for pts in frames_np[1:]:
-            pts_t = torch.from_numpy(pts)                       # [B, N, 3]
-            mean = pts_t.mean(dim=1)                            # [B, 3]
-            centered = (pts_t - mean[:, None]).transpose(-1, -2)
-            last = {k: v.clone() for k, v in poses[-1].items()}
-
-            npcs_input = {
-                "points": centered,
-                "points_mean": mean.unsqueeze(-1),
-                "canon_pose": {k: last[k][:, root].clone()
-                               for k in ("rotation", "translation", "scale")},
-                "init_part": last,
-            }
-            npcs_pred = coord_net(npcs_input)
-            pred_seg, pred_npcs = npcs_pred["seg"], npcs_pred["nocs"]
-            pred_labels = torch.max(pred_seg, dim=-2)[1]
-            pred_npcs = pred_npcs.reshape(len(pred_npcs), num_parts, 3, -1)
-
-            out = rot_net({
-                "points": centered,
-                "points_mean": mean.unsqueeze(-1),
-                "state": {"part": last},
-                "pred_labels": pred_labels,
-                "pred_nocs": pred_npcs,
-            }, test_mode=True)
-            poses.append(out["part"])
-            labels_all.append(pred_labels.numpy())
-    return poses, labels_all
-
-
 @pytest.mark.parametrize("sym", [False, True])
 def test_tracked_trajectory_parity(rng, sym):
     """20 frames tracked by both stacks with identical converted weights:
@@ -596,7 +560,7 @@ def test_tracked_trajectory_parity(rng, sym):
          for t in range(T)])
     init_np = rand_pose_np(rng, (b, num_parts))
 
-    ref_poses, ref_labels = _ref_track(ref, coord_t, rot_t,
+    ref_poses, ref_labels = ref_track(ref, coord_t, rot_t,
                                        to_torch_pose(init_np), frames_np,
                                        num_parts, root=0)
 
