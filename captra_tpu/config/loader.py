@@ -167,6 +167,11 @@ def get_config(config: str = "config_track.yml",
         delta_gain=float(tc.get("delta_gain", 1.0)),
         fit_ransac=int(tc.get("fit_ransac", 0)),
         fit_ransac_th=float(tc.get("fit_ransac_th", 0.01)),
+        motion_model=_choice(tc.get("motion_model", "none"),
+                             ("none", "const_vel"),
+                             "track_cfg/motion_model"),
+        motion_gain=float(tc.get("motion_gain", 0.8)),
+        motion_beta=float(tc.get("motion_beta", 0.5)),
     )
 
     optim = OptimCfg(

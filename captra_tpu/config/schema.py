@@ -168,6 +168,29 @@ class TrackCfg:
     fit_ransac: int = 0
     # camera-space inlier threshold for fit_ransac, meters
     fit_ransac_th: float = 0.01
+    # tracking-time motion model for the init pose fed to the nets each
+    # frame (deviation; the reference always seeds with the last fitted
+    # pose verbatim, model.py:409-420):
+    #   "none"      — reference behavior (default)
+    #   "const_vel" — constant-velocity extrapolation: canonicalize frame t
+    #                 by pose_{t-1} advanced by a low-passed estimate of the
+    #                 world-frame per-frame delta (scale held).  Under
+    #                 smooth motion the regressor then corrects residuals
+    #                 instead of the full per-frame motion, removing most of
+    #                 the under-correction lag (EVIDENCE.md round-3: the
+    #                 drift is a correlated ~0.6 deg/frame bias, i.e. a
+    #                 steady-state lag, not a random walk)
+    motion_model: str = "none"
+    # fraction of the estimated per-frame delta applied at prediction time.
+    # The steady-state rotation lag under constant motion m and correction
+    # fraction 1/2 is (1 - gain) * m; gain=1 removes it fully but sits at
+    # the loop's stability margin (measured: the raw double-difference
+    # predictor diverges ~1.55x/frame in f32), so the default backs off
+    motion_gain: float = 0.8
+    # low-pass coefficient for the velocity estimate: v' = v + beta *
+    # (observed_delta - v) per frame (alpha-beta-filter style); smaller =
+    # smoother/laggier velocity acquisition, 1 = raw frame difference
+    motion_beta: float = 0.5
 
 
 @dataclass(frozen=True)

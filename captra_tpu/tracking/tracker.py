@@ -81,6 +81,45 @@ def init_pose_from_cloud(points: jnp.ndarray, num_parts: int,
         scale=jnp.broadcast_to(scale[:, None], (B, num_parts)))
 
 
+# HIGHEST precision for pose-algebra matmuls: on TPU plain f32 matmul runs
+# at bf16 precision and repeated composition would inject ~0.3% rotation
+# noise per frame into the velocity estimate; these are [P,3,3] — cost nil
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _scale_rot(m: jnp.ndarray, factor) -> jnp.ndarray:
+    """exp(factor * log(m)) for rotation matrices (angle scaling)."""
+    from captra_tpu.pose import rotations as rot
+    axis, theta = rot.matrix_to_axis_theta(m)
+    return rot.axis_theta_to_matrix(axis, factor * theta)
+
+
+def extrapolate_pose(prev: Pose, cur: Pose, gain: float = 1.0) -> Pose:
+    """Constant-velocity pose prediction from two consecutive poses
+    (DEVIATION — the reference has no motion model, model.py:409-420).
+
+    Advances `cur` by the world-frame delta observed from `prev` to `cur`:
+    R_pred = exp(gain * log(R_cur R_prev^T)) R_cur, t_pred = t_cur +
+    gain * (t_cur - t_prev); scale is held (object scale is constant).
+    At gain=0 this is the identity (reference behavior).
+
+    Note: the tracking loop does NOT use this raw double-difference form —
+    it is marginally unstable in closed loop (prediction error = 2 e_{t-1}
+    - e_{t-2} triples the fitted-pose noise; measured divergence
+    ~1.55x/frame in f32).  `make_track_step` carries a low-passed velocity
+    instead (see `motion_beta`); this helper is the building block and the
+    one-shot (open-loop) predictor."""
+    d_rot = _mm(cur.rotation, jnp.swapaxes(prev.rotation, -1, -2))
+    if gain != 1.0:
+        d_rot = _scale_rot(d_rot, gain)
+    return Pose(
+        rotation=_mm(d_rot, cur.rotation),
+        translation=cur.translation
+        + gain * (cur.translation - prev.translation),
+        scale=cur.scale)
+
+
 def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                     intrinsics=None):
     """Build the scan step: carry = Pose [B, P], frame = dict with
@@ -277,6 +316,42 @@ def make_track_step(cfg: Config, coord_fn: Callable, rot_fn: Callable,
                            seg=aux.seg, nocs=aux.nocs)
         return new_pose, aux
 
+    if cfg.track.motion_model == "const_vel":
+        # carry = (pose, vel_rot [B,P,3,3], vel_t [B,P,3,1]): the nets see
+        # the pose advanced by `gain` x the low-passed world-frame velocity,
+        # the fitted pose is what's carried/evaluated, and the velocity is
+        # updated toward the observed fitted-pose delta by `beta` (alpha-
+        # beta filter).  The raw double-difference predictor (velocity =
+        # last frame's delta, beta=1 equivalent without smoothing state) is
+        # marginally unstable in closed loop — see extrapolate_pose.
+        # Frame 0 starts with zero velocity (== reference seeding).
+        gain, beta = cfg.track.motion_gain, cfg.track.motion_beta
+
+        def step_cv(carry, frame: dict):
+            pose, vel_rot, vel_t = carry
+            pose_pred = Pose(
+                rotation=_mm(_scale_rot(vel_rot, gain), pose.rotation),
+                translation=pose.translation + gain * vel_t,
+                scale=pose.scale)
+            new_pose, aux = step(pose_pred, frame)
+            obs_rot = _mm(new_pose.rotation,
+                          jnp.swapaxes(pose.rotation, -1, -2))
+            # geodesic low-pass: v' = exp(beta * log(obs v^-1)) v
+            new_vel_rot = _mm(_scale_rot(
+                _mm(obs_rot, jnp.swapaxes(vel_rot, -1, -2)), beta), vel_rot)
+            new_vel_t = vel_t + beta * (
+                (new_pose.translation - pose.translation) - vel_t)
+            return (new_pose, new_vel_rot, new_vel_t), aux
+
+        def init_carry(init_pose: Pose):
+            return (init_pose,
+                    jnp.broadcast_to(jnp.eye(3, dtype=init_pose.rotation.dtype),
+                                     init_pose.rotation.shape),
+                    jnp.zeros_like(init_pose.translation))
+
+        step_cv.init_carry = init_carry
+        return step_cv
+
     return step
 
 
@@ -288,6 +363,10 @@ def track_trajectory(step: Callable, init_pose: Pose, frames: dict):
     (final_pose, TrackAux stacked over T-1 tracked frames).
     """
     rest = jax.tree.map(lambda x: x[1:], frames)
+    make_carry = getattr(step, "init_carry", None)
+    if make_carry is not None:  # motion-model steps carry extra state
+        carry, aux = jax.lax.scan(step, make_carry(init_pose), rest)
+        return carry[0], aux
     return jax.lax.scan(step, init_pose, rest)
 
 

@@ -48,6 +48,10 @@ def main():
                     help="RANSAC hypotheses for the tracking-time fits "
                          "(track_cfg/fit_ransac)")
     ap.add_argument("--fit_ransac_th", type=float, default=0.01)
+    ap.add_argument("--motion_model", default="none",
+                    choices=["none", "const_vel"])
+    ap.add_argument("--motion_gain", type=float, default=0.8)
+    ap.add_argument("--motion_beta", type=float, default=0.5)
     ap.add_argument("--init_noise", action="store_true",
                     help="perturb the frame-0 pose (reference protocol "
                          "init_frame/gt=False) instead of GT init")
@@ -87,6 +91,9 @@ def main():
         "track_cfg/rot_fit_alpha": args.rot_fit_alpha,
         "track_cfg/fit_ransac": args.fit_ransac,
         "track_cfg/fit_ransac_th": args.fit_ransac_th,
+        "track_cfg/motion_model": args.motion_model,
+        "track_cfg/motion_gain": args.motion_gain,
+        "track_cfg/motion_beta": args.motion_beta,
     })
     gains = [float(g) for g in args.delta_gain.split(",")]
 

@@ -666,3 +666,128 @@ def test_fit_ransac_survives_segmentation_leak(key):
     assert t_ls > 0.02, t_ls
     assert t_ra < 1e-3, t_ra
     assert s_ra < 1e-3, (s_ra, s_ls)
+
+
+def test_extrapolate_pose_constant_motion():
+    """extrapolate_pose reproduces the next pose exactly under constant
+    world-frame motion; gain=0 degrades to the reference behavior (carry
+    the last pose verbatim)."""
+    from captra_tpu.pose.rotations import axis_theta_to_matrix
+    from captra_tpu.tracking.tracker import extrapolate_pose
+
+    rng = np.random.RandomState(0)
+    B, P = 2, 3
+    q = rng.randn(B, P, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    R0 = np.asarray(jax.vmap(jax.vmap(
+        lambda v: axis_theta_to_matrix(v[:3] / jnp.linalg.norm(v[:3]),
+                                       v[3])))(jnp.asarray(q)))
+    dR = np.asarray(axis_theta_to_matrix(
+        jnp.asarray([0.6, 0.8, 0.0]), jnp.asarray(0.05)))
+    v = rng.randn(B, P, 3, 1).astype(np.float32) * 0.01
+    t0 = rng.randn(B, P, 3, 1).astype(np.float32)
+    s = rng.uniform(0.5, 1.5, (B, P)).astype(np.float32)
+
+    def pose_at(k):
+        Rk = R0.copy()
+        for _ in range(k):
+            Rk = dR @ Rk
+        return Pose(rotation=jnp.asarray(Rk),
+                    translation=jnp.asarray(t0 + k * v),
+                    scale=jnp.asarray(s))
+
+    pred = extrapolate_pose(pose_at(0), pose_at(1))
+    gt2 = pose_at(2)
+    np.testing.assert_allclose(np.asarray(pred.rotation),
+                               np.asarray(gt2.rotation), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred.translation),
+                               np.asarray(gt2.translation), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pred.scale),
+                               np.asarray(gt2.scale), atol=0)
+
+    hold = extrapolate_pose(pose_at(0), pose_at(1), gain=0.0)
+    np.testing.assert_allclose(np.asarray(hold.rotation),
+                               np.asarray(pose_at(1).rotation), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hold.translation),
+                               np.asarray(pose_at(1).translation), atol=0)
+
+
+def test_const_vel_removes_tracking_lag(key):
+    """track_cfg/motion_model=const_vel: with a regressor that corrects only
+    half the observed canonicalization error (the measured under-correction
+    equilibrium, EVIDENCE.md round-3) and a constant-rate moving scene, the
+    reference seeding (motion_model=none) settles at a steady-state lag
+    == the per-frame motion, while velocity-filtered constant-velocity
+    seeding leaves the net only residuals and the lag drops to
+    ~(1 - motion_gain) x motion.  T=40 also guards against the closed-loop
+    divergence the raw double-difference predictor exhibits (~1.55x/frame
+    growth; see extrapolate_pose docstring)."""
+    from captra_tpu.pose import procrustes
+    from captra_tpu.pose.rotations import axis_theta_to_matrix, matrix_to_axis_theta
+    from captra_tpu.tracking.tracker import make_track_step as mts
+
+    obj = rigid_obj()
+    N, T = 256, 40
+    base = tiny_config().replace(obj=obj, num_points=N)
+    tr = make_trajectory(seed=11, obj=obj, num_frames=T, num_points=N,
+                         noise=0.0, motion_rad=0.05, motion_trans=0.0)
+    batch = batch_trajectories([tr])
+    frames = {"points": batch["points"], "nocs_gt": batch["nocs"]}
+    gt = batch["pose"]
+    init = gt.map(lambda x: x[0])
+    gt_rest = gt.map(lambda x: x[1:])
+
+    def coord_from(frame):
+        def coord_fn(canon_pts):
+            B = canon_pts.shape[0]
+            return {"seg": jnp.ones((B, N, 1)), "nocs": frame["nocs_gt"]}
+        return coord_fn
+
+    def rot_from(frame):
+        def rot_fn(canon_parts, labels):
+            # full correction = Procrustes(npcs -> canon_parts); emit half
+            # of its angle (fractional correction oracle)
+            B, P = canon_parts.shape[:2]
+            npcs = jnp.broadcast_to(frame["nocs_gt"][:, None],
+                                    canon_parts.shape)
+            mask = jnp.ones(canon_parts.shape[:-1])
+            R, _, _ = procrustes.similarity_fit(npcs, canon_parts, mask)
+            axis, theta = matrix_to_axis_theta(R)
+            half = axis_theta_to_matrix(axis, 0.5 * theta)
+            rt = half.reshape(B, P, 9)
+            return {"rtvec": rt,
+                    "point_rtvec": jnp.broadcast_to(rt[:, :, None],
+                                                    (B, P, N, 9))}
+        return rot_fn
+
+    def run(model, gain=0.8):
+        cfg = base.replace(track=TrackCfg(init_frame_gt=True,
+                                          motion_model=model,
+                                          motion_gain=gain))
+
+        def step_wrapper(carry, frame):
+            inner = mts(cfg, coord_from(frame), rot_from(frame))
+            return inner(carry, frame)
+
+        probe = mts(cfg, None, None)
+        if hasattr(probe, "init_carry"):
+            step_wrapper.init_carry = probe.init_carry
+        _, aux = jax.jit(lambda ip, fr: track_trajectory(
+            step_wrapper, ip, fr))(init, frames)
+        errs = evaluate_track(aux.pose, gt_rest, sym=obj.sym)
+        r = np.asarray(errs["rdiff"]).ravel()
+        # (steady-state mean over the second half, late-frame mean)
+        return float(r[T // 2:].mean()), float(r[-5:].mean())
+
+    lag_none, _ = run("none")
+    lag_cv, late_cv = run("const_vel")        # default gain 0.8
+    lag_cv1, late_cv1 = run("const_vel", gain=1.0)
+    # per-frame motion is ~2.9 deg; half-correction settles at that lag
+    assert lag_none > 1.5, lag_none
+    # gain=0.8: steady-state lag ~(1-0.8)*motion ~0.57 deg
+    assert lag_cv < 0.3 * lag_none, (lag_none, lag_cv)
+    # gain=1: lag removed entirely (within decode-noise floor)
+    assert lag_cv1 < 0.1 * lag_none, (lag_none, lag_cv1)
+    # stability: no late-scan regrowth (the raw predictor diverges here)
+    assert late_cv < 1.5 * lag_cv + 0.1, (lag_cv, late_cv)
+    assert late_cv1 < 0.3, late_cv1
