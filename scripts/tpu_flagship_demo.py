@@ -44,6 +44,13 @@ def main():
                          "to the ~1-2 deg per-frame deltas tracking "
                          "actually sees, instead of the 5 deg init-noise "
                          "scale")
+    ap.add_argument("--coord_perturb_r", type=float, default=None,
+                    help="override pose_perturb/r (deg) for CoordNet "
+                         "training only: tracking canonicalizes by the "
+                         "DRIFTED carried pose (10-15 deg off mid-scan), "
+                         "far outside the 5 deg init-noise train regime — "
+                         "a wider perturbation trains the NPCS head to "
+                         "stay accurate there (the absolute-fit lever)")
     ap.add_argument("--device_aug", action="store_true", default=False,
                     help="device-side pose resampling: every step draws a "
                          "fresh random pose over an HBM-resident geometry "
@@ -91,6 +98,8 @@ def main():
             overrides["network/norm"] = args.norm
         if args.rot_perturb_r is not None and net_type == "rot":
             overrides["pose_perturb/r"] = args.rot_perturb_r
+        if args.coord_perturb_r is not None and net_type == "canon_coord":
+            overrides["pose_perturb/r"] = args.coord_perturb_r
         cfg = get_config(config, overrides=overrides)
         trainer = Trainer(cfg, steps_per_epoch=200)
         batch0 = make_frame_batch(0, cfg.obj, batch=args.batch,
