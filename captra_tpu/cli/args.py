@@ -73,6 +73,11 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--pose_perturb/t", type=float, default=None)
 
     a("--nocs_otf", type=boolean_string, default=None)
+    a("--track_cfg/quality_profile", "--quality_profile", type=str,
+      default=None, choices=[None, "reference", "best"],
+      help="one-flag tracking preset: 'best' resolves the measured best "
+           "per-category stack (rot_fit/refine, EVIDENCE.md sweeps) from "
+           "the object config; explicit --track_cfg/* flags still win")
     a("--track_cfg/gt_label", type=boolean_string, default=None)
     a("--track_cfg/nocs2d_label", type=boolean_string, default=None)
     a("--track_cfg/nocs2d_path", type=str, default=None)

@@ -101,6 +101,28 @@ def _pointnet_from_yaml(raw: Mapping) -> PointNetCfg:
     )
 
 
+def _quality_profile(obj: ObjCfg) -> dict:
+    """track_cfg preset for `quality_profile: best` — the measured best
+    per-category tracking stack (EVIDENCE.md round-3/4 sweep tables):
+
+    - sym rigid (bottle/bowl/can): absolute NPCS rotation fit + forward
+      refinement; each pass re-solves from a better canonicalization and the
+      y-axis solve is well-conditioned, so refinement CONTRACTS (bottle
+      full-scan rdiff 12.3 -> 4.4 with the r=15 CoordNet).
+    - everything else (articulated + non-sym rigid): the absolute fit alone;
+      per-part re-canonicalization by a noisy 3D solve compounds noise, so
+      refinement is fenced off (laptop npcs 11.8 -> npcs+refine3 16.5).
+
+    Training-side companion (not a tracking knob): train CoordNet with
+    pose_perturb/r=15 (--coord_perturb_r) so the NPCS head stays accurate
+    under drifted canonicalization — see README "quality profile".
+    """
+    if obj.sym:
+        return {"rot_fit": "npcs", "refine_iters": 3,
+                "refine_mode": "forward"}
+    return {"rot_fit": "npcs"}
+
+
 def get_config(config: str = "config_track.yml",
                overrides: Mapping[str, Any] | None = None,
                base_dir: str | None = None) -> Config:
@@ -145,7 +167,13 @@ def get_config(config: str = "config_track.yml",
                          t=float(pp.get("t", 0.03)))
 
     tc = raw.get("track_cfg", {}) or {}
+    profile = _choice(tc.get("quality_profile", "reference"),
+                      ("reference", "best"), "track_cfg/quality_profile")
+    if profile == "best":
+        for k, v in _quality_profile(obj).items():
+            tc.setdefault(k, v)  # explicit keys always win over the preset
     track = TrackCfg(
+        quality_profile=profile,
         gt_label=bool(tc.get("gt_label", False)),
         nocs2d_label=bool(tc.get("nocs2d_label", False)),
         nocs2d_path=str(tc.get("nocs2d_path") or ""),

@@ -107,6 +107,14 @@ class PerturbCfg:
 
 @dataclass(frozen=True)
 class TrackCfg:
+    # one-flag category-aware tracking preset (no reference counterpart —
+    # the reference has exactly one tracking behavior):
+    #   "reference" — reference semantics, all levers at their defaults
+    #   "best"      — the measured best per-category stack (EVIDENCE.md
+    #                 round-3/4 sweeps), resolved against the object config
+    #                 at load time (config/loader.py::_quality_profile).
+    # Explicitly-set track_cfg/* keys always win over the preset.
+    quality_profile: str = "reference"
     gt_label: bool = False
     nocs2d_label: bool = False
     nocs2d_path: str = ""

@@ -52,6 +52,15 @@ def main():
                     choices=["none", "const_vel"])
     ap.add_argument("--motion_gain", type=float, default=0.8)
     ap.add_argument("--motion_beta", type=float, default=0.5)
+    ap.add_argument("--quality_profile", default="reference",
+                    choices=["reference", "best"],
+                    help="category-aware preset (track_cfg/quality_profile);"
+                         " explicitly-passed track flags still win")
+    ap.add_argument("--sweep", default=None,
+                    help="semicolon-separated rot_fit:refine_iters"
+                         "[:refine_mode] specs evaluated in one process "
+                         "(e.g. 'delta:1;npcs:1;npcs:3:forward'); "
+                         "overrides --rot_fit/--refine_*")
     ap.add_argument("--init_noise", action="store_true",
                     help="perturb the frame-0 pose (reference protocol "
                          "init_frame/gt=False) instead of GT init")
@@ -79,22 +88,21 @@ def main():
                 "batch_stats": jax.tree.map(jnp.asarray, p["batch_stats"])}
 
     cv, rv = vars_of(args.coord), vars_of(args.rot)
-    cfg = get_config("config_track.yml", overrides={
+    # track flags enter the config only when explicitly passed, so the
+    # quality_profile preset can fill the rest (explicit always wins)
+    track_keys = ("conf_weighted_delta", "scale_clamp", "refine_iters",
+                  "refine_mode", "rot_fit", "rot_fit_alpha", "fit_ransac",
+                  "fit_ransac_th", "motion_model", "motion_gain",
+                  "motion_beta", "quality_profile")
+    overrides = {
         "obj_config": args.obj_config, "obj_category": args.category,
         "init_frame/gt": not args.init_noise,
         "network/compute_dtype": args.dtype, "network/norm": args.norm,
-        "track_cfg/conf_weighted_delta": args.conf_weighted_delta,
-        "track_cfg/scale_clamp": args.scale_clamp,
-        "track_cfg/refine_iters": args.refine_iters,
-        "track_cfg/refine_mode": args.refine_mode,
-        "track_cfg/rot_fit": args.rot_fit,
-        "track_cfg/rot_fit_alpha": args.rot_fit_alpha,
-        "track_cfg/fit_ransac": args.fit_ransac,
-        "track_cfg/fit_ransac_th": args.fit_ransac_th,
-        "track_cfg/motion_model": args.motion_model,
-        "track_cfg/motion_gain": args.motion_gain,
-        "track_cfg/motion_beta": args.motion_beta,
-    })
+    }
+    for k in track_keys:
+        if getattr(args, k) != ap.get_default(k):
+            overrides[f"track_cfg/{k}"] = getattr(args, k)
+    cfg = get_config("config_track.yml", overrides=overrides)
     gains = [float(g) for g in args.delta_gain.split(",")]
 
     T, B = args.frames, args.trajs
@@ -115,9 +123,19 @@ def main():
           evaluate_track(frozen, gt_rest, sym=cfg.obj.sym).items()}
 
     import dataclasses
-    for g in gains:
-        cfg_g = cfg.replace(track=dataclasses.replace(cfg.track,
-                                                      delta_gain=g))
+    variants = [(f"gain={g}" if len(gains) > 1 else "",
+                 {"delta_gain": g}) for g in gains]
+    if args.sweep:
+        variants = []
+        for spec in args.sweep.split(";"):
+            parts = spec.split(":")
+            rep = {"rot_fit": parts[0],
+                   "refine_iters": int(parts[1]) if len(parts) > 1 else 1}
+            if len(parts) > 2:
+                rep["refine_mode"] = parts[2]
+            variants.append((spec, rep))
+    for tag0, rep in variants:
+        cfg_g = cfg.replace(track=dataclasses.replace(cfg.track, **rep))
 
         def track_fn(cv, rv, ip, frames, cfg_g=cfg_g):
             step = make_track_step(
@@ -132,7 +150,7 @@ def main():
         errs = evaluate_track(aux.pose, gt_rest, sym=cfg.obj.sym)
         f1 = {k: float(jnp.mean(v[0])) for k, v in errs.items()}
         full = {k: float(jnp.mean(v)) for k, v in errs.items()}
-        tag = f"[gain={g}] " if len(gains) > 1 else ""
+        tag = f"[{tag0}] " if tag0 else ""
         print(f"{tag}({time.time() - t0:.0f}s incl. compile)")
         print(tag + "frame-1    ", {k: round(v, 4) for k, v in f1.items()})
         print(tag + "full-scan  ", {k: round(v, 4) for k, v in full.items()})

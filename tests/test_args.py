@@ -34,6 +34,54 @@ def test_store_true_flags_never_leak_into_overrides():
     assert config_overrides(args) == {}
 
 
+def test_quality_profile_sym_preset():
+    # sym rigid (NOCS bottle): absolute fit + contracting forward refinement
+    cfg = get_config("config_track.yml", {
+        "obj_config": "obj_info_nocs.yml", "obj_category": "1",
+        "track_cfg/quality_profile": "best"})
+    assert cfg.obj.sym
+    assert cfg.track.quality_profile == "best"
+    assert cfg.track.rot_fit == "npcs"
+    assert cfg.track.refine_iters == 3
+    assert cfg.track.refine_mode == "forward"
+
+
+def test_quality_profile_articulated_fences_refinement():
+    # articulated: npcs alone (refinement measurably hurts, EVIDENCE.md)
+    cfg = get_config("config_track.yml", {
+        "obj_config": "obj_info_sapien.yml", "obj_category": "laptop",
+        "track_cfg/quality_profile": "best"})
+    assert not cfg.obj.sym
+    assert cfg.track.rot_fit == "npcs"
+    assert cfg.track.refine_iters == 1
+
+
+def test_quality_profile_explicit_flags_win():
+    args = _parse(["--quality_profile", "best",
+                   "--track_cfg/refine_iters", "1",
+                   "--track_cfg/rot_fit", "fused"])
+    cfg = get_config("config_track.yml", {
+        **config_overrides(args),
+        "obj_config": "obj_info_nocs.yml", "obj_category": "1"})
+    assert cfg.track.rot_fit == "fused"      # explicit beats preset
+    assert cfg.track.refine_iters == 1
+
+
+def test_quality_profile_default_is_reference():
+    cfg = get_config("config_track.yml", {
+        "obj_config": "obj_info_nocs.yml", "obj_category": "1"})
+    assert cfg.track.quality_profile == "reference"
+    assert cfg.track.rot_fit == "delta"
+    assert cfg.track.refine_iters == 1
+
+
+def test_quality_profile_rejects_unknown():
+    import pytest
+    with pytest.raises(ValueError):
+        get_config("config_track.yml",
+                   {"track_cfg/quality_profile": "nope"})
+
+
 def test_explicit_false_disables_yaml_enabled_key():
     # config_track.yml leaves conf_weighted_delta off; enable it via one
     # override and confirm a False override wins over a True one end to end
