@@ -8,13 +8,9 @@ import os
 
 # Must be set before the backend initializes (lazily, at first jax use).
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Tests get their own persistent-compile-cache dir: a pytest run sharing
-# .jax_cache with a concurrent TPU job segfaulted inside the cache write
-# (zstd) twice — cache contention between processes is not worth the reuse
-# (CLI e2e tests call enable_compile_cache, which honors this override).
-os.environ.setdefault("CAPTRA_COMPILE_CACHE", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache_tests"))
+# The persistent compile cache is hard-disabled under pytest (see
+# captra_tpu/utils/cache.py): a CLI e2e main leaking the global cache
+# config made a later test's huge compile segfault inside the zstd write.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,9 +20,26 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Belt and braces: disable the persistent-compile-cache *feature* for the
+# whole test process, so even a code path that sets jax_compilation_cache_dir
+# (enable_compile_cache is a pytest no-op, but anything could regress) never
+# routes compiles through the cache reader/writer.
+jax.config.update("jax_enable_compilation_cache", False)
+
+import sys  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_runtest_teardown(item):
+    # Pinpoint (and contain) any test that leaks the process-global compile
+    # cache config — the round-3 full-suite segfault was this leak plus a
+    # later huge compile crashing in the zstd cache write.
+    if jax.config.jax_compilation_cache_dir is not None:
+        sys.stderr.write(
+            f"\n[conftest] compile-cache dir leaked by {item.nodeid}; reset\n")
+        jax.config.update("jax_compilation_cache_dir", None)
 
 
 @pytest.fixture
