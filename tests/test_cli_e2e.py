@@ -112,7 +112,10 @@ def test_track_bucket_helpers():
     assert _bucket_length(5) == 8
     assert _bucket_length(8) == 8
     assert _bucket_length(9) == 16
+    assert _bucket_length(33) == 64
     assert _bucket_length(100) == 128
+    assert _bucket_length(130) == 160  # not 256: multiples of 32 above 32
+    assert _bucket_length(160) == 160
 
     frames = {"points": jnp.arange(5 * 2 * 3, dtype=jnp.float32)
               .reshape(5, 2, 3), "key": jnp.arange(5)}
