@@ -145,10 +145,9 @@ print(f"proc {pid}: ok total={float(total)}")
 """
 
 
-def test_multiprocess_dcn_mesh(tmp_path):
-    """Two jax.distributed CPU processes x 4 local devices -> a global
-    (2, 4) (dcn, ici) mesh with a cross-process reduction (SURVEY.md §5
-    distributed-backend note).  Runs anywhere: spawns its own processes."""
+def _run_two_processes(tmp_path, script_text, timeout=240):
+    """Spawn 2 jax.distributed CPU worker processes running script_text
+    (args: pid, coordinator port, scratch dir); returns their outputs."""
     import socket
     import subprocess
     import sys
@@ -157,10 +156,11 @@ def test_multiprocess_dcn_mesh(tmp_path):
         s.bind(("127.0.0.1", 0))
         port = str(s.getsockname()[1])
     script = tmp_path / "mp_worker.py"
-    script.write_text(_MP_SCRIPT)
+    script.write_text(script_text)
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [subprocess.Popen([sys.executable, str(script), str(i), port],
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), port,
+                               str(tmp_path)],
                               env=env, cwd=os.getcwd(),
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)
@@ -168,14 +168,86 @@ def test_multiprocess_dcn_mesh(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=120)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out.decode())
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
     assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+    return outs
+
+
+def test_multiprocess_dcn_mesh(tmp_path):
+    """Two jax.distributed CPU processes x 4 local devices -> a global
+    (2, 4) (dcn, ici) mesh with a cross-process reduction (SURVEY.md §5
+    distributed-backend note).  Runs anywhere: spawns its own processes."""
+    outs = _run_two_processes(tmp_path, _MP_SCRIPT)
     assert all("ok total=" in o for o in outs), "\n".join(outs)
+
+
+_MP_CKPT_SCRIPT = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; scratch = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=4")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, os.getcwd())
+from captra_tpu.config.schema import NetworkCfg, ObjCfg
+from captra_tpu.data.synthetic import make_frame_batch
+from captra_tpu.parallel.mesh import hybrid_data_parallel_mesh, replicate, \
+    shard_batch
+from captra_tpu.training import checkpoint as ckpt
+from captra_tpu.training.trainer import Trainer
+from tests.test_models import tiny_config
+
+obj = ObjCfg(num_parts=1, num_joints=0, tree=(-1,), extra_dims=1)
+cfg = tiny_config().replace(
+    obj=obj, network=NetworkCfg(type="canon_coord", backbone_out_dim=32,
+                                nocs_head_dims=(16,)))
+trainer = Trainer(cfg, steps_per_epoch=10)
+batch = make_frame_batch(0, obj, batch=8, num_points=128)
+key = jax.random.PRNGKey(0)
+state = trainer.init_state(key, batch)
+
+mesh = hybrid_data_parallel_mesh()          # global (2, 4) over 2 processes
+state = replicate(state, mesh)              # params live on the GLOBAL mesh
+state, _, _ = trainer.train_step(state, shard_batch(batch, mesh), key)
+
+want = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+ckpt_dir = os.path.join(scratch, "mh_ckpt")
+path = ckpt.save_checkpoint(ckpt_dir, 0, state, format="orbax")
+
+# barrier: both processes finished the coordinated orbax write above
+# (save_checkpoint is itself collective); now restore and bit-compare
+payload = ckpt.load_checkpoint(path)
+fresh = trainer.init_state(jax.random.PRNGKey(1), batch)
+restored = ckpt.restore_state(payload, fresh)
+got = jax.tree.leaves(jax.tree.map(np.asarray, restored.params))
+assert len(got) == len(want)
+for g, w in zip(got, want):
+    np.testing.assert_array_equal(g, w)
+ro = jax.tree.leaves(jax.tree.map(np.asarray, restored.opt_state))
+so = jax.tree.leaves(jax.tree.map(np.asarray, state.opt_state))
+for g, w in zip(ro, so):
+    np.testing.assert_array_equal(g, w)
+assert int(restored.step) == int(state.step)
+print(f"proc {pid}: ckpt ok leaves={len(got)}")
+"""
+
+
+def test_multiprocess_orbax_checkpoint(tmp_path):
+    """Multi-host checkpointing proof (round-3 verdict item 6): save a
+    2-process global-mesh train state through the orbax backend, restore,
+    and bit-compare params + opt_state on BOTH processes."""
+    outs = _run_two_processes(tmp_path, _MP_CKPT_SCRIPT, timeout=300)
+    assert all("ckpt ok" in o for o in outs), "\n".join(outs)
 
 
 def test_hybrid_mesh_rejects_nondividing_dcn():
