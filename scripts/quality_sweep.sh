@@ -42,45 +42,36 @@ evalsweep () {  # evalsweep <name> <obj_config> <category> <coord_tag> <rot_tag>
 NOCS=obj_info_nocs.yml
 SAP=obj_info_sapien.yml
 
-# --- r=5 (reference perturbation) checkpoints, all 10 categories ---------
-train n1_r5 $NOCS 1
-train n2_r5 $NOCS 2
-train n3_r5 $NOCS 3
-train n4_r5 $NOCS 4
-train n5_r5 $NOCS 5
-train n6_r5 $NOCS 6
-train laptop_r5   $SAP laptop
-train glasses_r5  $SAP glasses
-train scissors_r5 $SAP scissors
-train drawers_r5  $SAP drawers
-
-# --- r=15 CoordNets (RotationNet recipe unchanged -> reuse the r5 RotNet;
-#     --rot_steps 1 keeps the rot training loop a no-op) ------------------
-train n1_r15 $NOCS 1 --coord_perturb_r 15 --rot_steps 1
-train n2_r15 $NOCS 2 --coord_perturb_r 15 --rot_steps 1
-train n4_r15 $NOCS 4 --coord_perturb_r 15 --rot_steps 1
-train n3_r15 $NOCS 3 --coord_perturb_r 15 --rot_steps 1
-train laptop_r15 $SAP laptop --coord_perturb_r 15 --rot_steps 1
-
 # --- tracking-stack sweeps ------------------------------------------------
 BASE='delta:1;npcs:1;npcs:3:forward'
 WIDE='npcs:1;npcs:2:forward;npcs:3:forward'
 
-evalsweep n1_base $NOCS 1 n1_r5 n1_r5 "$BASE"
-evalsweep n2_base $NOCS 2 n2_r5 n2_r5 "$BASE"
-evalsweep n3_base $NOCS 3 n3_r5 n3_r5 "$BASE"
-evalsweep n4_base $NOCS 4 n4_r5 n4_r5 "$BASE"
-evalsweep n5_base $NOCS 5 n5_r5 n5_r5 "$BASE"
-evalsweep n6_base $NOCS 6 n6_r5 n6_r5 "$BASE"
-evalsweep laptop_base   $SAP laptop   laptop_r5   laptop_r5   "$BASE"
-evalsweep glasses_base  $SAP glasses  glasses_r5  glasses_r5  "$BASE"
-evalsweep scissors_base $SAP scissors scissors_r5 scissors_r5 "$BASE"
-evalsweep drawers_base  $SAP drawers  drawers_r5  drawers_r5  "$BASE"
+# Interleaved per category (train -> eval immediately) so a time-bounded run
+# leaves complete per-category rows rather than checkpoints with no sweeps.
+# r=15 CoordNets reuse the r5 RotNet (RotationNet recipe unchanged;
+# --rot_steps 1 keeps the rot training loop a no-op).
 
-evalsweep n1_wide $NOCS 1 n1_r15 n1_r5 "$WIDE"
-evalsweep n2_wide $NOCS 2 n2_r15 n2_r5 "$WIDE"
-evalsweep n4_wide $NOCS 4 n4_r15 n4_r5 "$WIDE"
-evalsweep n3_wide $NOCS 3 n3_r15 n3_r5 "$WIDE"
-evalsweep laptop_wide $SAP laptop laptop_r15 laptop_r5 "$WIDE"
+category () {  # category <tag> <obj_config> <category> <wide:0|1>
+  local tag=$1 objc=$2 cat=$3 wide=$4
+  train "${tag}_r5" "$objc" "$cat"
+  evalsweep "${tag}_base" "$objc" "$cat" "${tag}_r5" "${tag}_r5" "$BASE"
+  if [ "$wide" = 1 ]; then
+    train "${tag}_r15" "$objc" "$cat" --coord_perturb_r 15 --rot_steps 1
+    evalsweep "${tag}_wide" "$objc" "$cat" "${tag}_r15" "${tag}_r5" "$WIDE"
+  fi
+}
+
+# Order: the two VERDICT-emphasized categories first (bottle, laptop), then
+# the remaining sym + rigid NOCS categories, then the articulated rest.
+category n1       $NOCS 1        1
+category laptop   $SAP  laptop   1
+category n2       $NOCS 2        1
+category n3       $NOCS 3        1
+category n4       $NOCS 4        1
+category n5       $NOCS 5        0
+category n6       $NOCS 6        0
+category glasses  $SAP  glasses  0
+category scissors $SAP  scissors 0
+category drawers  $SAP  drawers  0
 
 echo "== quality sweep complete ($(date +%H:%M:%S))"
