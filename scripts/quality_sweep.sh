@@ -61,15 +61,19 @@ category () {  # category <tag> <obj_config> <category> <wide:0|1>
   fi
 }
 
-# Order: the two VERDICT-emphasized categories first (bottle, laptop), then
-# the remaining sym + rigid NOCS categories, then the articulated rest.
+# Order: novel measurements first. Round 3 already recorded delta-vs-npcs at
+# this exact 12k budget for bottle and all four SAPIEN categories
+# (EVIDENCE.md round-3 tables), so the new information is: the other sym
+# categories (bowl=2, can=4) incl. the r=15 wide lever, the non-sym NOCS
+# rigids (camera=3, laptop=5, mug=6), the laptop r=15 wide probe, and only
+# then the SAPIEN re-runs.
 category n1       $NOCS 1        1
-category laptop   $SAP  laptop   1
 category n2       $NOCS 2        1
-category n3       $NOCS 3        1
 category n4       $NOCS 4        1
+category n3       $NOCS 3        1
 category n5       $NOCS 5        0
 category n6       $NOCS 6        0
+category laptop   $SAP  laptop   1
 category glasses  $SAP  glasses  0
 category scissors $SAP  scissors 0
 category drawers  $SAP  drawers  0
