@@ -10,6 +10,27 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".jax_cache")
 
 
+def raise_stack_limit(want_bytes: int = 512 << 20) -> None:
+    """Raise RLIMIT_STACK's soft limit (best effort, capped by the hard one).
+
+    LLVM's recursive passes can exhaust the default 8 MiB thread stack while
+    compiling this framework's largest one-dispatch programs (observed: a
+    SIGSEGV inside backend_compile_and_load on the full-size train step).
+    glibc sizes pthread stacks from the soft limit at thread creation, so
+    call this BEFORE the first jax backend use; the main thread picks up the
+    new limit at fault time either way.
+    """
+    try:
+        import resource
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        if soft != resource.RLIM_INFINITY and soft < want_bytes:
+            new = (want_bytes if hard == resource.RLIM_INFINITY
+                   else min(want_bytes, hard))
+            resource.setrlimit(resource.RLIMIT_STACK, (new, hard))
+    except (ImportError, ValueError, OSError):
+        pass  # non-POSIX or privilege-restricted: keep the default
+
+
 def enable_compile_cache(path: str | None = None) -> str:
     """Enable JAX's persistent compile cache (process-global).
 
@@ -20,6 +41,7 @@ def enable_compile_cache(path: str | None = None) -> str:
     buffers fine standalone — the crash needs the loaded test process, so
     the cache writer is simply kept out of test processes entirely).
     """
+    raise_stack_limit()
     if ("PYTEST_CURRENT_TEST" in os.environ
             and os.environ.get("CAPTRA_FORCE_COMPILE_CACHE") != "1"):
         return ""

@@ -5,19 +5,17 @@ Note: the axon TPU plugin pins JAX_PLATFORMS in the environment, so the env
 var alone does not stick — `jax.config.update` after import does.
 """
 import os
-import resource
 
 # The round-4 full-suite SIGSEGV (with the persistent compile cache already
 # disabled) died inside backend_compile_and_load on a large train-step
 # program: LLVM's recursive passes can exhaust the default 8 MiB thread
-# stack.  Raise the soft limit BEFORE jax initializes so XLA's compilation
-# threads (glibc sizes pthread stacks from the soft limit at creation) and
-# the main thread (kernel checks the rlimit at fault time) both get room.
-_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-_want = 512 << 20
-if _soft != resource.RLIM_INFINITY and _soft < _want:
-    _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
-    resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+# stack.  Raise the soft limit BEFORE the backend initializes so XLA's
+# compilation threads (glibc sizes pthread stacks from the soft limit at
+# creation) and the main thread (kernel checks the rlimit at fault time)
+# both get room.
+from captra_tpu.utils.cache import raise_stack_limit  # noqa: E402
+
+raise_stack_limit()
 
 # Must be set before the backend initializes (lazily, at first jax use).
 os.environ["JAX_PLATFORMS"] = "cpu"
