@@ -14,9 +14,18 @@ cd "$(dirname "$0")/.."
 train () {  # train <tag> <obj_config> <category> [extra flags...]
   local tag=$1 objc=$2 cat=$3; shift 3
   local out=runs/q4_$tag
-  if [ -f "$out/canon_coord/ckpt/model_0000" ]; then
+  # A run is complete only when every net it trains has a checkpoint:
+  # --rot_steps 1 runs (r=15 CoordNets) never write a usable rot ckpt, so
+  # they are judged by the coord ckpt alone; full runs need both, else an
+  # interrupted training (coord done, rot killed mid-run) would be skipped
+  # forever and the eval sweep would fail on the missing rot checkpoint.
+  local need_rot=1
+  case " $* " in *" --rot_steps 1 "*) need_rot=0;; esac
+  if [ -f "$out/canon_coord/ckpt/model_0000" ] && \
+     { [ "$need_rot" = 0 ] || [ -f "$out/rot/ckpt/model_0000" ]; }; then
     echo "== skip train $tag (checkpoint exists)"; return
   fi
+  rm -rf "$out/canon_coord" "$out/rot"
   echo "== train $tag ($(date +%H:%M:%S))"
   mkdir -p "$out"
   python scripts/tpu_flagship_demo.py --steps 12000 --batch 12 \
@@ -61,18 +70,16 @@ category () {  # category <tag> <obj_config> <category> <wide:0|1>
   fi
 }
 
-# Order: novel measurements first. Round 3 already recorded delta-vs-npcs at
-# this exact 12k budget for bottle and all four SAPIEN categories
-# (EVIDENCE.md round-3 tables), so the new information is: the other sym
-# categories (bowl=2, can=4) incl. the r=15 wide lever, the non-sym NOCS
-# rigids (camera=3, laptop=5, mug=6), the laptop r=15 wide probe, and only
-# then the SAPIEN re-runs.
-category n1       $NOCS 1        1
-category n2       $NOCS 2        1
-category n4       $NOCS 4        1
-category n3       $NOCS 3        1
-category n5       $NOCS 5        0
-category n6       $NOCS 6        0
+# The synthetic generator (data/synthetic.py) conditions only on
+# (num_parts, tree, sym, num_joints, joint_type, main_axis), so the 10 real
+# categories collapse to 6 DISTINCT experiments here: bottle=bowl=can
+# (sym rigid, 1 part), camera=laptop=mug (non-sym rigid, 1 part), and the
+# four SAPIEN kinematic layouts.  Verified empirically: the bowl (n2) run
+# reproduced bottle's numbers bit-for-bit (runs/q4_n2_r5 vs runs/q4_n1_r5).
+# Sweeping the duplicates would re-measure the same bytes, so each
+# equivalence class runs once; per-category presets map through the class.
+category n1       $NOCS 1        1   # sym rigid class: bottle, bowl, can
+category n3       $NOCS 3        1   # non-sym rigid class: camera, laptop, mug
 category laptop   $SAP  laptop   1
 category glasses  $SAP  glasses  0
 category scissors $SAP  scissors 0
