@@ -134,7 +134,7 @@ def train_reference(ref, args, pool, sym, num_parts, tree, root,
                     if k in loss_dict and w)
         total.backward()
         opt.step()
-        if i % 100 == 0 or i == args.steps - 1:
+        if i % 50 == 0 or i == args.steps - 1:
             log(f"[ref coord] step {i}: total={float(total):.4f} " +
                 " ".join(f"{k}={float(v):.4f}" for k, v in loss_dict.items()
                          if coord_weights.get(k)))
@@ -184,7 +184,7 @@ def train_reference(ref, args, pool, sym, num_parts, tree, root,
                  + rot_weights["corner_loss"] * corner_loss)
         total.backward()
         opt.step()
-        if i % 100 == 0 or i == rsteps - 1:
+        if i % 50 == 0 or i == rsteps - 1:
             log(f"[ref rot] step {i}: total={float(total):.4f} "
                 f"rloss={float(rloss):.4f} corner={float(corner_loss):.4f}")
     log(f"[ref rot] {rsteps} steps in {time.time() - t0:.0f}s")
@@ -253,6 +253,13 @@ def main():
     ap.add_argument("--norm", default="bn", choices=["bn", "gn"],
                     help="ours-side norm; the reference is always BN "
                          "(its backbone hard-codes BatchNorm)")
+    ap.add_argument("--platform", default="cpu",
+                    help="JAX platform for the ours-side training/tracking "
+                         "(the torch reference always runs CPU here). "
+                         "'cpu' keeps both stacks on the same silicon; the "
+                         "TPU plugin name runs ours in its shipping "
+                         "configuration — quality is what's compared, and "
+                         "the report records the platform")
     ap.add_argument("--out", default="runs/ref_parity")
     args = ap.parse_args()
 
@@ -265,7 +272,7 @@ def main():
         logf.flush()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import torch
 
