@@ -1,0 +1,95 @@
+"""Measure the train-loop host-sync cost (VERDICT r3 weak 3 / next 7).
+
+The reference train loop reads every loss scalar back to the host each step
+(network/train.py:84-90 logs from the live loss dict); round-3's cli/train.py
+did the same via float(v), which blocks XLA's async dispatch on a device
+round-trip per step (~40 ms RTT through the remote-TPU tunnel).  Round 4
+accumulates the loss/metric pytree ON DEVICE and syncs once per epoch
+(cli/train.py::run_epoch).  This script measures both regimes at full size
+on the same jitted step so the delta is exactly the dispatch behavior:
+
+  python scripts/bench_train_sync.py [--steps 80] [--batch 12]
+
+Regimes:
+  per-step sync : float(total_loss) every step (old behavior)
+  device accum  : jax.tree.map(add) on device, one sync at the end (new)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=80)
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--config", default="config_coordnet.yml")
+    ap.add_argument("--norm", default="gn")
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+
+    from captra_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    from captra_tpu.cli.train import device_aug_epoch, make_device_aug_sampler
+    from captra_tpu.config import get_config
+    from captra_tpu.training.trainer import Trainer
+
+    cfg = get_config(args.config, overrides={
+        "obj_config": "obj_info_nocs.yml", "obj_category": "1",
+        "batch_size": args.batch, "network/norm": args.norm,
+        "network/compute_dtype": args.dtype})
+    trainer = Trainer(cfg, steps_per_epoch=args.steps)
+    key = jax.random.PRNGKey(0)
+    sampler = make_device_aug_sampler(cfg, pool_size=64)
+
+    def epoch_batches(epoch):
+        return device_aug_epoch(sampler, epoch, args.steps)
+
+    # warm-up epoch: compile the step + sampler, excluded from timing
+    state = None
+    for batch in epoch_batches(0):
+        if state is None:
+            state = trainer.init_state(key, batch)
+        key, sub = jax.random.split(key)
+        state, loss, _ = trainer.train_step(state, batch, sub)
+    jax.block_until_ready(loss["total_loss"])
+
+    def run(epoch, per_step_sync):
+        nonlocal state, key
+        t0 = time.time()
+        sums = None
+        for batch in epoch_batches(epoch):
+            key, sub = jax.random.split(key)
+            state, loss, metrics = trainer.train_step(state, batch, sub)
+            cur = {**loss, **metrics}
+            if per_step_sync:
+                float(cur["total_loss"])  # host round-trip per step
+            else:
+                sums = cur if sums is None else \
+                    jax.tree.map(jax.numpy.add, sums, cur)
+        if sums is not None:
+            for k in sums:
+                float(sums[k])
+        jax.block_until_ready(state.params)
+        return (time.time() - t0) / args.steps * 1e3
+
+    # interleave to cancel drift; two rounds each
+    results = {"per-step sync": [], "device accum": []}
+    for r in range(2):
+        results["per-step sync"].append(run(1 + 2 * r, True))
+        results["device accum"].append(run(2 + 2 * r, False))
+    for name, ms in results.items():
+        print(f"{name:>14}: {min(ms):.1f} ms/step (best of {len(ms)})")
+    speedup = min(results["per-step sync"]) / min(results["device accum"])
+    print(f"speedup: {speedup:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
