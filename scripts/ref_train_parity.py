@@ -82,11 +82,10 @@ def ref_feed(batch, torch):
 
 
 def train_reference(ref, args, pool, sym, num_parts, tree, root,
-                    coord_weights, rot_weights, pose_loss_type, log):
+                    coord_weights, rot_weights, pose_loss_type, out, log):
     import torch
     from tests.ref_compat import make_ref_cfg
 
-    torch.manual_seed(0)
     perturb = ref_perturb_cfg()
 
     def gt_bbox(corners):
@@ -95,13 +94,42 @@ def train_reference(ref, args, pool, sym, num_parts, tree, root,
             return ref.bbox_utils.yaxis_from_corners(corners, "cpu")
         return ref.bbox_utils.tensor_bbox_from_corners(corners, "cpu")
 
+    def resumable(name, net, opt, total_steps, body):
+        """Run body(i) for steps [start, total_steps), checkpointing the net
+        + optimizer + torch RNG every 100 steps so an interrupted run loses
+        at most 100 steps (torch CPU phases here take ~1h each)."""
+        final = os.path.join(out, f"{name}.pt")
+        prog = os.path.join(out, f"{name}_progress.pt")
+        if os.path.exists(final):
+            net.load_state_dict(torch.load(final, weights_only=True))
+            log(f"[{name}] loaded finished net from {final}")
+            return
+        start = 0
+        if os.path.exists(prog):
+            ck = torch.load(prog, weights_only=False)
+            net.load_state_dict(ck["model"])
+            opt.load_state_dict(ck["opt"])
+            torch.set_rng_state(ck["rng"])
+            start = ck["step"] + 1
+            log(f"[{name}] resumed at step {start}")
+        t0 = time.time()
+        for i in range(start, total_steps):
+            body(i)
+            if i % 100 == 99 and i != total_steps - 1:
+                torch.save({"step": i, "model": net.state_dict(),
+                            "opt": opt.state_dict(),
+                            "rng": torch.get_rng_state()}, prog)
+        torch.save(net.state_dict(), final)
+        log(f"[{name}] {total_steps - start} steps in {time.time() - t0:.0f}s")
+
     # --- CoordNet (reference CanonCoordModel.update, model.py:195-205) ----
+    torch.manual_seed(0)
     cfg_c = make_ref_cfg(num_parts, sym, 1, tree, net_type="canon_coord")
     cfg_c["network"]["pwm_num"] = 128
     coord = ref.networks.CoordNet(cfg_c)
     opt = torch.optim.Adam(coord.parameters(), lr=1e-3, weight_decay=1e-4)
-    t0 = time.time()
-    for i in range(args.steps):
+
+    def coord_body(i):
         b = ref_feed(pool[i % len(pool)], torch)
         init_part = ref.part_dof_utils.add_noise_to_part_dof(
             b["gt_part"], perturb)
@@ -138,16 +166,18 @@ def train_reference(ref, args, pool, sym, num_parts, tree, root,
             log(f"[ref coord] step {i}: total={float(total):.4f} " +
                 " ".join(f"{k}={float(v):.4f}" for k, v in loss_dict.items()
                          if coord_weights.get(k)))
-    log(f"[ref coord] {args.steps} steps in {time.time() - t0:.0f}s")
+
+    resumable("ref_coord", coord, opt, args.steps, coord_body)
 
     # --- RotationNet (reference RotationModel.update, model.py:296-301) ---
     rsteps = args.rot_steps or args.steps
+    torch.manual_seed(1)
     cfg_r = make_ref_cfg(num_parts, sym, 1, tree, net_type="rot")
     rot = ref.networks.PartCanonNet(cfg_r)
-    opt = torch.optim.Adam(rot.parameters(), lr=1e-3, weight_decay=1e-4)
+    opt_r = torch.optim.Adam(rot.parameters(), lr=1e-3, weight_decay=1e-4)
     eye = torch.cat([torch.eye(num_parts), torch.zeros(2, num_parts)], dim=0)
-    t0 = time.time()
-    for i in range(rsteps):
+
+    def rot_body(i):
         b = ref_feed(pool[i % len(pool)], torch)
         init_part = ref.part_dof_utils.add_noise_to_part_dof(
             b["gt_part"], perturb)
@@ -163,7 +193,7 @@ def train_reference(ref, args, pool, sym, num_parts, tree, root,
             "labels": b["labels"], "state": {"part": init_part},
             "canon_pose": canon_flat, "gt_part": b["gt_part"],
         }
-        opt.zero_grad()
+        opt_r.zero_grad()
         pred = rot(feed, test_mode=False)
         # RotationModel.compute_loss (model.py:243-294): the part-dof rloss
         # is overwritten by the masked per-point rloss; effective training
@@ -183,11 +213,12 @@ def train_reference(ref, args, pool, sym, num_parts, tree, root,
         total = (rot_weights["rloss"] * rloss
                  + rot_weights["corner_loss"] * corner_loss)
         total.backward()
-        opt.step()
+        opt_r.step()
         if i % 50 == 0 or i == rsteps - 1:
             log(f"[ref rot] step {i}: total={float(total):.4f} "
                 f"rloss={float(rloss):.4f} corner={float(corner_loss):.4f}")
-    log(f"[ref rot] {rsteps} steps in {time.time() - t0:.0f}s")
+
+    resumable("ref_rot", rot, opt_r, rsteps, rot_body)
     return coord, rot
 
 
@@ -195,7 +226,9 @@ def train_reference(ref, args, pool, sym, num_parts, tree, root,
 # our-side training (captra_tpu, CPU ok at this scale)
 # ---------------------------------------------------------------------------
 
-def train_ours(args, pool, cfg_name, net_type, log):
+def train_ours(args, pool, cfg_name, net_type, out, log):
+    import pickle
+
     import jax
     import jax.numpy as jnp
     from captra_tpu.config import get_config
@@ -206,6 +239,12 @@ def train_ours(args, pool, cfg_name, net_type, log):
         "obj_config": args.obj_config, "obj_category": args.category,
         "batch_size": args.batch, "num_points": args.points,
         "network/norm": args.norm})
+    final = os.path.join(out, f"ours_{net_type}.pkl")
+    if os.path.exists(final):
+        with open(final, "rb") as f:
+            var_np = pickle.load(f)
+        log(f"[ours {net_type}] loaded finished variables from {final}")
+        return cfg, jax.tree.map(jnp.asarray, var_np)
     trainer = Trainer(cfg, steps_per_epoch=200)
 
     def to_jax(b):
@@ -223,16 +262,32 @@ def train_ours(args, pool, cfg_name, net_type, log):
     steps = (args.rot_steps or args.steps) if net_type == "rot" \
         else args.steps
     k = key
+    prog = os.path.join(out, f"ours_{net_type}_progress.pkl")
+    start = 0
+    if os.path.exists(prog):
+        with open(prog, "rb") as f:
+            ck = pickle.load(f)
+        state = jax.tree.map(jnp.asarray, ck["state"])
+        k = jnp.asarray(ck["key"])
+        start = ck["step"] + 1
+        log(f"[ours {net_type}] resumed at step {start}")
     t0 = time.time()
-    for i in range(steps):
+    for i in range(start, steps):
         k, sub = jax.random.split(k)
         state, loss, metrics = trainer.train_step(state, jb[i % len(jb)], sub)
         if i % 100 == 0 or i == steps - 1:
             log(f"[ours {net_type}] step {i}: "
                 f"total={float(loss['total_loss']):.4f} "
                 f"rdiff={float(metrics.get('rdiff', 0)):.3f}")
-    log(f"[ours {net_type}] {steps} steps in {time.time() - t0:.0f}s")
-    return cfg, state
+        if i % 200 == 199 and i != steps - 1:
+            with open(prog, "wb") as f:
+                pickle.dump({"step": i, "state": jax.device_get(state),
+                             "key": jax.device_get(k)}, f)
+    log(f"[ours {net_type}] {steps - start} steps in {time.time() - t0:.0f}s")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    with open(final, "wb") as f:
+        pickle.dump(jax.device_get(variables), f)
+    return cfg, variables
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +319,8 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
-    logf = open(os.path.join(args.out, "LOG.txt"), "w")
+    logf = open(os.path.join(args.out, "LOG.txt"), "a")
+    logf.write(f"--- invocation {time.strftime('%H:%M:%S')} ---\n")
 
     def log(msg):
         print(msg, flush=True)
@@ -310,11 +366,12 @@ def main():
 
     coord_t, rot_t = train_reference(
         ref, args, pool, sym, num_parts, tree, root,
-        coord_weights, rot_weights, pose_loss_type, log)
+        coord_weights, rot_weights, pose_loss_type, args.out, log)
 
-    cfg_c, state_c = train_ours(args, pool, "config_coordnet.yml",
-                                "canon_coord", log)
-    cfg_r, state_r = train_ours(args, pool, "config_rotnet.yml", "rot", log)
+    cfg_c, var_c = train_ours(args, pool, "config_coordnet.yml",
+                              "canon_coord", args.out, log)
+    cfg_r, var_r = train_ours(args, pool, "config_rotnet.yml", "rot",
+                              args.out, log)
 
     # --- identical eval scans ---------------------------------------------
     T, B = args.frames, args.trajs
@@ -328,8 +385,7 @@ def main():
     # ours
     cfg = base_cfg.replace(num_points=args.points)
     coord_m, rotn_m = CoordNet(cfg), RotNet(cfg)
-    cv = {"params": state_c.params, "batch_stats": state_c.batch_stats}
-    rv = {"params": state_r.params, "batch_stats": state_r.batch_stats}
+    cv, rv = var_c, var_r
     init_pose = init_pose_from_gt(jax.random.PRNGKey(0),
                                   gt.map(lambda x: x[0]), cfg)
     step = make_track_step(
