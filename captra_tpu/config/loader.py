@@ -103,21 +103,25 @@ def _pointnet_from_yaml(raw: Mapping) -> PointNetCfg:
 
 def _quality_profile(obj: ObjCfg) -> dict:
     """track_cfg preset for `quality_profile: best` — the measured best
-    per-category tracking stack (EVIDENCE.md round-3/4 sweep tables):
+    per-category tracking stack (EVIDENCE.md round-3/4 sweep tables).
+    The discriminator is PART COUNT, not symmetry:
 
-    - sym rigid (bottle/bowl/can): absolute NPCS rotation fit + forward
-      refinement; each pass re-solves from a better canonicalization and the
-      y-axis solve is well-conditioned, so refinement CONTRACTS (bottle
-      full-scan rdiff 12.3 -> 4.4 with the r=15 CoordNet).
-    - everything else (articulated + non-sym rigid): the absolute fit alone;
-      per-part re-canonicalization by a noisy 3D solve compounds noise, so
+    - rigid (1 part; sym bottle/bowl/can AND non-sym camera/laptop/mug):
+      absolute NPCS rotation fit + forward refinement; each pass re-solves
+      the single root from a better canonicalization, so refinement
+      CONTRACTS (sym full-scan rdiff 12.3 -> 4.4 with the r=15 CoordNet;
+      non-sym rigid 16.8 -> 11.6, runs/q4_n3_r5).
+    - articulated (multi-part): the absolute fit alone; per-part
+      re-canonicalization by a noisy per-part 3D solve compounds noise, so
       refinement is fenced off (laptop npcs 11.8 -> npcs+refine3 16.5).
 
-    Training-side companion (not a tracking knob): train CoordNet with
-    pose_perturb/r=15 (--coord_perturb_r) so the NPCS head stays accurate
-    under drifted canonicalization — see README "quality profile".
+    Training-side companion (not a tracking knob): for SYM categories only,
+    train CoordNet with pose_perturb/r=15 (--coord_perturb_r) so the NPCS
+    head stays accurate under drifted canonicalization; for non-sym the
+    wide perturbation measurably hurts (runs/q4_n3_r15) — see README
+    "quality profile".
     """
-    if obj.sym:
+    if obj.num_parts == 1:
         return {"rot_fit": "npcs", "refine_iters": 3,
                 "refine_mode": "forward"}
     return {"rot_fit": "npcs"}

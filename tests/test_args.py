@@ -47,13 +47,28 @@ def test_quality_profile_sym_preset():
 
 
 def test_quality_profile_articulated_fences_refinement():
-    # articulated: npcs alone (refinement measurably hurts, EVIDENCE.md)
+    # articulated (multi-part): npcs alone (refinement measurably hurts,
+    # EVIDENCE.md laptop 11.8 -> 16.5)
     cfg = get_config("config_track.yml", {
         "obj_config": "obj_info_sapien.yml", "obj_category": "laptop",
         "track_cfg/quality_profile": "best"})
     assert not cfg.obj.sym
+    assert cfg.obj.num_parts > 1
     assert cfg.track.rot_fit == "npcs"
     assert cfg.track.refine_iters == 1
+
+
+def test_quality_profile_nonsym_rigid_refines():
+    # non-sym rigid (1 part): refinement contracts (runs/q4_n3_r5
+    # npcs 14.45 -> npcs+refine3 11.57), so the preset keeps it
+    cfg = get_config("config_track.yml", {
+        "obj_config": "obj_info_nocs.yml", "obj_category": "3",
+        "track_cfg/quality_profile": "best"})
+    assert not cfg.obj.sym
+    assert cfg.obj.num_parts == 1
+    assert cfg.track.rot_fit == "npcs"
+    assert cfg.track.refine_iters == 3
+    assert cfg.track.refine_mode == "forward"
 
 
 def test_quality_profile_explicit_flags_win():
