@@ -115,11 +115,12 @@ def _quality_profile(obj: ObjCfg) -> dict:
       re-canonicalization by a noisy per-part 3D solve compounds noise, so
       refinement is fenced off (laptop npcs 11.8 -> npcs+refine3 16.5).
 
-    Training-side companion (not a tracking knob): for SYM categories only,
-    train CoordNet with pose_perturb/r=15 (--coord_perturb_r) so the NPCS
-    head stays accurate under drifted canonicalization; for non-sym the
-    wide perturbation measurably hurts (runs/q4_n3_r15) — see README
-    "quality profile".
+    Training-side companion (not a tracking knob): train CoordNet with
+    pose_perturb/r=15 (--coord_perturb_r) so the NPCS head stays accurate
+    under drifted canonicalization.  Measured scope: sym rigid 12.3->4.4
+    and articulated laptop 11.8->7.3 full-scan rdiff (runs/q4_laptop_r15);
+    the non-sym RIGID class regresses (runs/q4_n3_r15), keep r=5 there —
+    see README "quality profile".
     """
     if obj.num_parts == 1:
         return {"rot_fit": "npcs", "refine_iters": 3,
