@@ -1,0 +1,55 @@
+#!/bin/bash
+# Round-4 TPU-chip follow-ups that must wait for the quality sweep to
+# release the chip: the GT-less frame-0 init envelope probe (VERDICT r3
+# weak 5 / next 9) and the train-loop host-sync delta measurement
+# (VERDICT r3 weak 3 / next 7).  Idempotent: completed probes are skipped,
+# so this script can be relaunched after a session restart.
+#
+#   nohup bash scripts/post_sweep_probes.sh > /tmp/post_sweep.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+
+SWEEP_LOG=/tmp/q4_sweep_r2.log
+echo "== waiting for quality sweep to finish ($(date +%H:%M:%S))"
+waited=0
+while ! grep -q "quality sweep complete" "$SWEEP_LOG" 2>/dev/null; do
+  # If the sweep died with the previous session its log stops advancing;
+  # time out after 3h so the probes eventually get the chip regardless.
+  [ "$waited" -ge 10800 ] && { echo "== sweep wait timed out"; break; }
+  sleep 60; waited=$((waited + 60))
+done
+echo "== sweep done, probes start ($(date +%H:%M:%S))"
+
+run () {  # run <log> <cmd...>
+  local log=$1; shift
+  if [ -s "$log" ] && grep -q "PROBE DONE" "$log"; then
+    echo "== skip $log (done)"; return
+  fi
+  echo "== run $log ($(date +%H:%M:%S))"
+  { "$@" && echo "PROBE DONE"; } > "$log" 2>&1 \
+    || echo "PROBE FAILED: $log"
+}
+
+mkdir -p runs/q4_probes
+
+# GT-less init envelope: sym rigid class (bottle) and the articulated
+# laptop, both on the round-4 12k device-aug checkpoints.
+run runs/q4_probes/gtless_n1.log \
+  python scripts/gtless_init_probe.py \
+    --coord runs/q4_n1_r5/canon_coord/ckpt/model_0000 \
+    --rot runs/q4_n1_r5/rot/ckpt/model_0000 \
+    --category 1 --out runs/q4_probes/gtless_n1.json
+
+run runs/q4_probes/gtless_laptop.log \
+  python scripts/gtless_init_probe.py \
+    --coord runs/q4_laptop_r5/canon_coord/ckpt/model_0000 \
+    --rot runs/q4_laptop_r5/rot/ckpt/model_0000 \
+    --obj_config obj_info_sapien.yml --category laptop \
+    --out runs/q4_probes/gtless_laptop.json
+
+# Host-sync cost: per-step float() vs device-side accumulation, full-size
+# jitted train step on the real chip.
+run runs/q4_probes/train_sync.log \
+  python scripts/bench_train_sync.py --steps 80 --batch 12
+
+echo "== post-sweep probes complete ($(date +%H:%M:%S))"
