@@ -52,4 +52,27 @@ run runs/q4_probes/gtless_laptop.log \
 run runs/q4_probes/train_sync.log \
   python scripts/bench_train_sync.py --steps 80 --batch 12
 
+# EVIDENCE round-4 finding 4's open follow-up: does the wide-perturbation
+# CoordNet transfer to the 3-part glasses layout like it did to laptop?
+# (Train r15 coord, reuse the sweep's glasses_r5 RotNet, WIDE stacks.)
+if [ ! -f runs/q4_glasses_r15/canon_coord/ckpt/model_0000 ]; then
+  echo "== train glasses_r15 ($(date +%H:%M:%S))"
+  mkdir -p runs/q4_glasses_r15
+  python scripts/tpu_flagship_demo.py --steps 12000 --batch 12 \
+    --device_aug --norm gn --dtype bfloat16 \
+    --obj_config obj_info_sapien.yml --category glasses \
+    --out runs/q4_glasses_r15 --coord_perturb_r 15 --rot_steps 1 \
+    > runs/q4_glasses_r15/TRAIN.log 2>&1 || echo "TRAIN FAILED: glasses_r15"
+fi
+GW=runs/q4_glasses_r15/SWEEP_glasses_wide.log
+if ! { [ -s "$GW" ] && grep -q "frozen-init" "$GW"; }; then
+  echo "== eval glasses_wide ($(date +%H:%M:%S))"
+  python scripts/eval_checkpoint_track.py \
+    --coord runs/q4_glasses_r15/canon_coord/ckpt/model_0000 \
+    --rot runs/q4_glasses_r5/rot/ckpt/model_0000 \
+    --obj_config obj_info_sapien.yml --category glasses \
+    --sweep 'npcs:1;npcs:2:forward;npcs:3:forward' \
+    > "$GW" 2>&1 || echo "EVAL FAILED: glasses_wide"
+fi
+
 echo "== post-sweep probes complete ($(date +%H:%M:%S))"
