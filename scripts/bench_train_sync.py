@@ -11,7 +11,9 @@ on the same jitted step so the delta is exactly the dispatch behavior:
   python scripts/bench_train_sync.py [--steps 80] [--batch 12]
 
 Regimes:
-  per-step sync : float(total_loss) every step (old behavior)
+  per-step sync : float(v) on every loss/metric scalar each step (old
+                  behavior; measured 2.27x with the single-scalar variant,
+                  so the full-dict figure is a lower bound on the win)
   device accum  : jax.tree.map(add) on device, one sync at the end (new)
 """
 from __future__ import annotations
@@ -70,7 +72,11 @@ def main():
             state, loss, metrics = trainer.train_step(state, batch, sub)
             cur = {**loss, **metrics}
             if per_step_sync:
-                float(cur["total_loss"])  # host round-trip per step
+                # faithful old behavior (round-3 cli/train.py logging):
+                # EVERY loss/metric scalar crossed the host each step, not
+                # just total_loss
+                for v in cur.values():
+                    float(v)
             else:
                 sums = cur if sums is None else \
                     jax.tree.map(jax.numpy.add, sums, cur)

@@ -61,6 +61,9 @@ def main():
                          "[:refine_mode] specs evaluated in one process "
                          "(e.g. 'delta:1;npcs:1;npcs:3:forward'); "
                          "overrides --rot_fit/--refine_*")
+    ap.add_argument("--eval_seed_base", type=int, default=1000,
+                    help="trajectory seed base for the eval set; vary to "
+                         "measure stack-ranking noise across eval draws")
     ap.add_argument("--init_noise", action="store_true",
                     help="perturb the frame-0 pose (reference protocol "
                          "init_frame/gt=False) instead of GT init")
@@ -106,7 +109,8 @@ def main():
     gains = [float(g) for g in args.delta_gain.split(",")]
 
     T, B = args.frames, args.trajs
-    trajs = [make_trajectory(seed=1000 + s, obj=cfg.obj, num_frames=T,
+    trajs = [make_trajectory(seed=args.eval_seed_base + s, obj=cfg.obj,
+                             num_frames=T,
                              num_points=cfg.num_points) for s in range(B)]
     data = batch_trajectories(trajs)
     gt = data["pose"]

@@ -9,14 +9,23 @@
 set -u
 cd "$(dirname "$0")/.."
 
-SWEEP_LOG=/tmp/q4_sweep_r2.log
+SWEEP_LOG=${SWEEP_LOG:-/tmp/q4_sweep_r2.log}
 echo "== waiting for quality sweep to finish ($(date +%H:%M:%S))"
-waited=0
+stale=0
 while ! grep -q "quality sweep complete" "$SWEEP_LOG" 2>/dev/null; do
-  # If the sweep died with the previous session its log stops advancing;
-  # time out after 3h so the probes eventually get the chip regardless.
-  [ "$waited" -ge 10800 ] && { echo "== sweep wait timed out"; break; }
-  sleep 60; waited=$((waited + 60))
+  # A dead sweep is one whose log stops advancing: watch the log's
+  # size/mtime and give up only after 15 min without progress (a missing
+  # log counts as never-advancing).  A sweep legitimately running longer
+  # than any fixed cap keeps the chip as long as it keeps logging.
+  sig=$(stat -c '%s:%Y' "$SWEEP_LOG" 2>/dev/null || echo none)
+  sleep 60
+  sig2=$(stat -c '%s:%Y' "$SWEEP_LOG" 2>/dev/null || echo none)
+  if [ "$sig" = "$sig2" ]; then
+    stale=$((stale + 60))
+    [ "$stale" -ge 900 ] && { echo "== sweep log stopped advancing; assuming dead"; break; }
+  else
+    stale=0
+  fi
 done
 echo "== sweep done, probes start ($(date +%H:%M:%S))"
 

@@ -25,12 +25,28 @@ train () {  # train <tag> <obj_config> <category> [extra flags...]
      { [ "$need_rot" = 0 ] || [ -f "$out/rot/ckpt/model_0000" ]; }; then
     echo "== skip train $tag (checkpoint exists)"; return
   fi
-  rm -rf "$out/canon_coord" "$out/rot"
+  # Preserve a completed coord net: when only the rot ckpt is missing
+  # (interrupted mid-rot), retrain just the rot leg instead of discarding
+  # 12k coord steps.  NOTE: any already-written wide-sweep log that paired
+  # an r15 coord with this run's old rot ckpt stays valid because the coord
+  # net is untouched; only a full coord retrain (coord ckpt absent) would
+  # stale them, and then we say so.
+  local extra=()
+  if [ -f "$out/canon_coord/ckpt/model_0000" ]; then
+    echo "== $tag: coord ckpt present, retraining rot leg only"
+    extra=(--skip_coord)
+  else
+    [ -d "$out/canon_coord" ] || [ -d "$out/rot" ] && \
+      echo "== $tag: no complete coord ckpt; full retrain (any wide-sweep logs pairing this run's rot net are now stale)"
+    rm -rf "$out/canon_coord"
+  fi
+  rm -rf "$out/rot"
   echo "== train $tag ($(date +%H:%M:%S))"
   mkdir -p "$out"
   python scripts/tpu_flagship_demo.py --steps 12000 --batch 12 \
     --device_aug --norm gn --dtype bfloat16 \
-    --obj_config "$objc" --category "$cat" --out "$out" "$@" \
+    --obj_config "$objc" --category "$cat" --out "$out" \
+    ${extra[@]+"${extra[@]}"} "$@" \
     > "$out/TRAIN.log" 2>&1 || echo "TRAIN FAILED: $tag (see $out/TRAIN.log)"
 }
 

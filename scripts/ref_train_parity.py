@@ -116,10 +116,14 @@ def train_reference(ref, args, pool, sym, num_parts, tree, root,
         for i in range(start, total_steps):
             body(i)
             if i % 100 == 99 and i != total_steps - 1:
+                # atomic: a session kill mid-save must not truncate the
+                # checkpoint (resume would crash in torch.load forever)
                 torch.save({"step": i, "model": net.state_dict(),
                             "opt": opt.state_dict(),
-                            "rng": torch.get_rng_state()}, prog)
-        torch.save(net.state_dict(), final)
+                            "rng": torch.get_rng_state()}, prog + ".tmp")
+                os.replace(prog + ".tmp", prog)
+        torch.save(net.state_dict(), final + ".tmp")
+        os.replace(final + ".tmp", final)
         log(f"[{name}] {total_steps - start} steps in {time.time() - t0:.0f}s")
 
     # --- CoordNet (reference CanonCoordModel.update, model.py:195-205) ----
@@ -280,13 +284,16 @@ def train_ours(args, pool, cfg_name, net_type, out, log):
                 f"total={float(loss['total_loss']):.4f} "
                 f"rdiff={float(metrics.get('rdiff', 0)):.3f}")
         if i % 200 == 199 and i != steps - 1:
-            with open(prog, "wb") as f:
+            # atomic (see the torch side): temp file + os.replace
+            with open(prog + ".tmp", "wb") as f:
                 pickle.dump({"step": i, "state": jax.device_get(state),
                              "key": jax.device_get(k)}, f)
+            os.replace(prog + ".tmp", prog)
     log(f"[ours {net_type}] {steps - start} steps in {time.time() - t0:.0f}s")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    with open(final, "wb") as f:
+    with open(final + ".tmp", "wb") as f:
         pickle.dump(jax.device_get(variables), f)
+    os.replace(final + ".tmp", final)
     return cfg, variables
 
 

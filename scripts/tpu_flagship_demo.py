@@ -51,6 +51,10 @@ def main():
                          "far outside the 5 deg init-noise train regime — "
                          "a wider perturbation trains the NPCS head to "
                          "stay accurate there (the absolute-fit lever)")
+    ap.add_argument("--skip_coord", action="store_true", default=False,
+                    help="load an existing <out>/canon_coord/ckpt "
+                         "checkpoint instead of training the CoordNet "
+                         "(rot-leg-only retrain after an interrupted run)")
     ap.add_argument("--device_aug", action="store_true", default=False,
                     help="device-side pose resampling: every step draws a "
                          "fresh random pose over an HBM-resident geometry "
@@ -105,6 +109,22 @@ def main():
         batch0 = make_frame_batch(0, cfg.obj, batch=args.batch,
                                   num_points=cfg.num_points)
         state = trainer.init_state(key, batch0)
+        coord_ckpt = os.path.join(args.out, "canon_coord", "ckpt",
+                                  "model_0000")
+        if net_type == "canon_coord" and args.skip_coord \
+                and os.path.exists(coord_ckpt):
+            loaded = ckpt.load_checkpoint(coord_ckpt)
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, loaded["params"]),
+                batch_stats=jax.tree.map(jnp.asarray,
+                                         loaded["batch_stats"]))
+            print("[canon_coord] loaded existing checkpoint "
+                  f"({coord_ckpt}); skipping coord training", flush=True)
+            report["canon_coord"] = {"final": {}, "sec": 0.0,
+                                     "loaded": True}
+            states["canon_coord"] = state
+            states["canon_coord/snapshots"] = {}
+            continue
         steps = args.steps if net_type == "canon_coord" else \
             (args.rot_steps or args.steps)
         steps = max([steps] + eval_at)
