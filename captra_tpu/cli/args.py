@@ -107,6 +107,13 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
            "when > 0; outlier rejection for real sensor data)")
     a("--track_cfg/fit_ransac_th", type=float, default=None,
       help="RANSAC inlier threshold in camera meters")
+    a("--track_cfg/init_search", type=int, default=None,
+      help="K>0 runs the frame-0 orientation search for GT-less init: K "
+           "candidate orientations scored by CoordNet NPCS "
+           "self-consistency in one batched forward (deviation; extends "
+           "the ~30 deg identity-init envelope, EVIDENCE.md round 5)")
+    a("--track_cfg/init_search_steps", type=int, default=None,
+      help="descend-and-score passes per init-search candidate")
 
     a("--ckpt_format", type=str, default="pickle",
       choices=["pickle", "orbax"],

@@ -24,7 +24,7 @@ from captra_tpu.tracking.results import (
 )
 from captra_tpu.tracking.tracker import (
     evaluate_track, init_pose_from_cloud, init_pose_from_gt,
-    make_track_step, track_trajectory,
+    make_track_step, search_init_orientation, track_trajectory,
 )
 from captra_tpu.training import checkpoint as ckpt
 
@@ -46,11 +46,15 @@ def load_variables(cfg, args):
 
 
 def build_step(cfg, cv, rv):
+    """Returns the scan step; the CoordNet apply fn rides on it as
+    `step.coord_fn` for the frame-0 orientation search."""
     coord, rotn = CoordNet(cfg), RotNet(cfg)
-    return make_track_step(
-        cfg,
-        lambda p: coord.apply(cv, p, train=False),
+    coord_fn = lambda p: coord.apply(cv, p, train=False)  # noqa: E731
+    step = make_track_step(
+        cfg, coord_fn,
         lambda p, l: rotn.apply(rv, p, l, train=False))
+    step.coord_fn = coord_fn
+    return step
 
 
 def _bucket_length(T: int, lo: int = 8) -> int:
@@ -112,6 +116,16 @@ def track_sequences(cfg, step, sequences, save: bool = False,
             init_pose = init_pose_from_cloud(batch["points"][0],
                                              cfg.obj.num_parts,
                                              cfg.data_radius)
+            coord_fn = getattr(step, "coord_fn", None)
+            if cfg.track.init_search > 0 and coord_fn is not None:
+                # coarse orientation search: the identity-rotation guess
+                # only tracks within ~30 deg of the true orientation
+                # (EVIDENCE.md round 5) — score K candidates by CoordNet
+                # self-consistency before the scan starts
+                init_pose = jax.jit(
+                    lambda p, ip: search_init_orientation(
+                        coord_fn, p, ip, cfg))(batch["points"][0],
+                                               init_pose)
         if cfg.track.nocs_otf and "depth" in batch:
             T = batch["depth"].shape[0]
             frames = {"depth": batch["depth"], "mask": batch["mask"],

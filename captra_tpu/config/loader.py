@@ -205,6 +205,8 @@ def get_config(config: str = "config_track.yml",
                              "track_cfg/motion_model"),
         motion_gain=float(tc.get("motion_gain", 0.8)),
         motion_beta=float(tc.get("motion_beta", 0.5)),
+        init_search=int(tc.get("init_search", 0)),
+        init_search_steps=int(tc.get("init_search_steps", 2)),
     )
 
     optim = OptimCfg(

@@ -188,6 +188,17 @@ class TrackCfg:
     #                 the under-correction lag (EVIDENCE.md round-3: the
     #                 drift is a correlated ~0.6 deg/frame bias, i.e. a
     #                 steady-state lag, not a random walk)
+    # frame-0 coarse orientation search for GT-less init (deviation; the
+    # reference always receives a GT frame-0 pose, model.py:390-400).
+    # K > 0 scores K candidate orientations (the cloud-derived guess + a
+    # super-Fibonacci SO(3) covering) by CoordNet NPCS self-consistency
+    # and seeds the scan with the best descended candidate — extends the
+    # measured GT-less recovery envelope (EVIDENCE.md round 5) at the cost
+    # of init_search_steps batched CoordNet forwards on frame 0 only
+    init_search: int = 0
+    # descend-and-score passes per candidate (each = one CoordNet forward
+    # at batch B*K plus an absolute similarity fit)
+    init_search_steps: int = 2
     motion_model: str = "none"
     # fraction of the estimated per-frame delta applied at prediction time.
     # The steady-state rotation lag under constant motion m and correction

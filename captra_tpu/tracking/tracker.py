@@ -81,6 +81,121 @@ def init_pose_from_cloud(points: jnp.ndarray, num_parts: int,
         scale=jnp.broadcast_to(scale[:, None], (B, num_parts)))
 
 
+def _super_fibonacci_quats(n: int) -> jnp.ndarray:
+    """n unit quaternions low-discrepancy-covering SO(3) (the
+    super-Fibonacci spiral construction — deterministic, near-uniform;
+    public construction, Alexa CVPR 2022).  Used as the candidate set for
+    the frame-0 orientation search."""
+    import numpy as np
+    s = np.arange(n, dtype=np.float64) + 0.5
+    t = s / n
+    d = 2.0 * np.pi * s
+    r, big_r = np.sqrt(t), np.sqrt(1.0 - t)
+    alpha = d / np.sqrt(2.0)
+    beta = d / 1.533751168755204288118041  # psi: x^4 = x + 4
+    q = np.stack([r * np.sin(alpha), r * np.cos(alpha),
+                  big_r * np.sin(beta), big_r * np.cos(beta)], axis=-1)
+    return jnp.asarray(q, dtype=jnp.float32)
+
+
+def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
+                            init_pose: Pose, cfg: Config) -> Pose:
+    """Frame-0 coarse orientation search for GT-less init (DEVIATION — no
+    reference counterpart: EvalTrackModel always receives gt_part at frame
+    0, model.py:390-400, so the reference never faces an unknown frame-0
+    orientation).
+
+    Mitigates the measured identity-init cliff (EVIDENCE.md round 5:
+    tracking never re-converges beyond ~30 deg initial orientation error):
+    K = cfg.track.init_search candidate orientations — the guess's own
+    rotation plus a super-Fibonacci SO(3) covering — each run through
+    cfg.track.init_search_steps descent passes of
+    {canonicalize -> CoordNet -> absolute NPCS similarity fit}, with all
+    candidates batched into ONE CoordNet forward per pass ([B*K, N, 3] —
+    MXU-friendly, no Python loop over candidates).  The camera-space fit
+    residual of the final pass scores each candidate; the best DESCENDED
+    pose per trajectory (rotation + refitted t/s) seeds the scan.
+
+    Cost: init_search_steps CoordNet forwards at batch B*K, on frame 0
+    only.  points: [B, N, 3] camera cloud of frame 0; init_pose: [B, P]
+    guess (typically init_pose_from_cloud's identity-rotation pose)."""
+    from captra_tpu.pose import rotations as rot
+    from captra_tpu.pose.pose_fit import filter_valid, labels_to_part_mask
+    from captra_tpu.pose.procrustes import similarity_fit
+
+    obj = cfg.obj
+    K = int(cfg.track.init_search)
+    root = tree_root(obj.tree)
+    B, N, _ = points.shape
+    P = obj.num_parts
+
+    cand = jnp.eye(3, dtype=points.dtype)[None]           # the guess itself
+    if K > 1:
+        cand = jnp.concatenate(
+            [cand, rot.quat_to_matrix(_super_fibonacci_quats(K - 1))], 0)
+    pose = Pose(
+        rotation=jnp.einsum("kij,bpjl->bkpil", cand,
+                            init_pose.rotation).reshape(B * K, P, 3, 3),
+        translation=jnp.broadcast_to(
+            init_pose.translation[:, None],
+            (B, K, P, 3, 1)).reshape(B * K, P, 3, 1),
+        scale=jnp.broadcast_to(init_pose.scale[:, None],
+                               (B, K, P)).reshape(B * K, P))
+    pts = jnp.broadcast_to(points[:, None], (B, K, N, 3)).reshape(B * K, N, 3)
+    points_mean = jnp.mean(pts, axis=1)
+    centered = pts - points_mean[:, None]
+    cam = pts[:, None]                                    # [BK, 1, N, 3]
+
+    score = None
+    for _ in range(max(int(cfg.track.init_search_steps), 1)):
+        root_pose = Pose(rotation=pose.rotation[:, root],
+                         translation=pose.translation[:, root],
+                         scale=pose.scale[:, root])
+        out = coord_fn(canonicalize(centered, points_mean, root_pose))
+        labels = jnp.argmax(out["seg"], axis=-1)          # [BK, N]
+        pred_npcs = jnp.moveaxis(
+            out["nocs"].reshape(B * K, N, P, 3), 2, 1)    # [BK, P, N, 3]
+        mask = labels_to_part_mask(labels, P)             # [BK, P, N]
+        r_fit, s_fit, t_fit = similarity_fit(pred_npcs, cam, mask,
+                                             sym=obj.sym)
+        fitted = Pose(rotation=r_fit, translation=t_fit, scale=s_fit)
+        valid = filter_valid(fitted, jnp.sum(mask, -1) > 3,
+                             min_scale=1e-4)              # [BK, P]
+
+        def sel(n, o):
+            v = valid.reshape(valid.shape + (1,) * (n.ndim - 2))
+            return jnp.where(v, n, o)
+
+        pose = jax.tree.map(sel, fitted, pose)
+        # score = camera-space residual of THIS pass's fit (a wrong-basin
+        # candidate predicts NPCS inconsistent with any similarity
+        # transform of the observed cloud, so its residual stays high);
+        # degenerate parts are excluded, all-degenerate candidates sink
+        posed = s_fit[..., None, None] * (
+            pred_npcs @ jnp.swapaxes(r_fit, -1, -2)) \
+            + jnp.swapaxes(t_fit, -1, -2)
+        resid = jnp.sum((posed - cam) ** 2, axis=-1)      # [BK, P, N]
+        w = mask * valid[..., None].astype(mask.dtype)
+        tot = jnp.sum(w, axis=(-1, -2))
+        score = jnp.sum(resid * w, axis=(-1, -2)) / jnp.maximum(tot, 1.0)
+        score = jnp.where(tot > 3, score, jnp.inf)
+
+    score = score.reshape(B, K)
+    best = jnp.argmin(score, axis=1)                      # [B]
+
+    def pick(x):
+        return x.reshape((B, K) + x.shape[1:])[jnp.arange(B), best]
+
+    chosen = jax.tree.map(pick, pose)
+    # every candidate degenerate (e.g. an empty cloud): keep the raw guess
+    ok = jnp.isfinite(jnp.min(score, axis=1))
+
+    def fb(c, g):
+        return jnp.where(ok.reshape((B,) + (1,) * (c.ndim - 1)), c, g)
+
+    return jax.tree.map(fb, chosen, init_pose)
+
+
 # HIGHEST precision for pose-algebra matmuls: on TPU plain f32 matmul runs
 # at bf16 precision and repeated composition would inject ~0.3% rotation
 # noise per frame into the velocity estimate; these are [P,3,3] — cost nil

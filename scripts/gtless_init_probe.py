@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--norm", default="gn", choices=["bn", "gn"])
     ap.add_argument("--thetas", default="0,10,20,30,45,60,90")
+    ap.add_argument("--init_search", type=int, default=0,
+                    help="K>0 runs the frame-0 orientation search "
+                         "(track_cfg/init_search) on the cloud init rows")
+    ap.add_argument("--init_search_steps", type=int, default=2)
     ap.add_argument("--quality_profile", default="reference",
                     choices=["reference", "best"])
     ap.add_argument("--out", default=None, help="optional JSON report path")
@@ -94,7 +98,7 @@ def main():
     from captra_tpu.models.rotnet import RotNet
     from captra_tpu.tracking.tracker import (
         evaluate_track, init_pose_from_cloud, init_pose_from_gt,
-        make_track_step, track_trajectory,
+        make_track_step, search_init_orientation, track_trajectory,
     )
     from captra_tpu.training import checkpoint as ckpt
 
@@ -108,8 +112,15 @@ def main():
         "obj_config": args.obj_config, "obj_category": args.category,
         "init_frame/gt": True, "network/compute_dtype": args.dtype,
         "network/norm": args.norm,
+        "track_cfg/init_search": args.init_search,
+        "track_cfg/init_search_steps": args.init_search_steps,
         "track_cfg/quality_profile": args.quality_profile})
     coord, rotn = CoordNet(cfg), RotNet(cfg)
+
+    search = None
+    if args.init_search > 0:
+        search = jax.jit(lambda cv, pts, ip: search_init_orientation(
+            lambda p: coord.apply(cv, p, train=False), pts, ip, cfg))
 
     def track_fn(cv, rv, ip, frames):
         step = make_track_step(
@@ -143,16 +154,19 @@ def main():
     gt0 = base["pose"].map(lambda x: x[0])
     eval_run("gt-init", init_pose_from_gt(jax.random.PRNGKey(0), gt0, cfg),
              base)
+    def cloud_init(data):
+        ip = init_pose_from_cloud(data["points"][0], cfg.obj.num_parts,
+                                  cfg.data_radius)
+        if search is not None:
+            ip = search(cv, data["points"][0], ip)
+        return ip
+
     # cloud init on the unmodified scan (theta = whatever the random draw is)
-    eval_run("cloud-init/raw-draw",
-             init_pose_from_cloud(base["points"][0], cfg.obj.num_parts,
-                                  cfg.data_radius), base)
+    eval_run("cloud-init/raw-draw", cloud_init(base), base)
 
     for theta in [float(x) for x in args.thetas.split(",")]:
         data = repose_to_theta(base, theta, rng)
-        ip = init_pose_from_cloud(data["points"][0], cfg.obj.num_parts,
-                                  cfg.data_radius)
-        eval_run(f"cloud-init/theta={theta:g}", ip, data)
+        eval_run(f"cloud-init/theta={theta:g}", cloud_init(data), data)
 
     if args.out:
         with open(args.out, "w") as f:

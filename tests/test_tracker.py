@@ -791,3 +791,97 @@ def test_const_vel_removes_tracking_lag(key):
     # stability: no late-scan regrowth (the raw predictor diverges here)
     assert late_cv < 1.5 * lag_cv + 0.1, (lag_cv, late_cv)
     assert late_cv1 < 0.3, late_cv1
+
+
+def _make_posed_cloud(rng, theta_deg=120.0, N=256, s_true=1.7):
+    """A single-part scene whose GT rotation is exactly theta from identity
+    and whose cloud-derived init (init_pose_from_cloud) recovers t and s
+    exactly: canonical points are centered with max-norm = data_radius, so
+    centroid/covering-radius init leaves ONLY the orientation wrong."""
+    from captra_tpu.pose import rotations as rot
+
+    npcs = rng.randn(N, 3).astype(np.float32)
+    npcs -= npcs.mean(0)
+    npcs *= 0.6 / np.linalg.norm(npcs, axis=-1).max()
+    axis = rng.randn(3).astype(np.float32)
+    R = np.asarray(rot.axis_theta_to_matrix(
+        jnp.asarray(axis / np.linalg.norm(axis)),
+        jnp.deg2rad(theta_deg)), np.float32)
+    t = rng.randn(3).astype(np.float32) * 0.4
+    cam = s_true * npcs @ R.T + t
+    gt = Pose(rotation=jnp.asarray(R)[None, None],
+              translation=jnp.asarray(t)[None, None, :, None],
+              scale=jnp.full((1, 1), s_true))
+    return jnp.asarray(npcs)[None], jnp.asarray(cam)[None], gt
+
+
+def _rot_angle_deg(ra, rb):
+    c = (np.trace(np.asarray(ra).reshape(3, 3).T
+                  @ np.asarray(rb).reshape(3, 3)) - 1) / 2
+    return float(np.degrees(np.arccos(np.clip(c, -1, 1))))
+
+
+def test_init_orientation_search_recovers_rotation():
+    """search_init_orientation (track_cfg/init_search) must recover a
+    frame-0 orientation 120 deg from the identity guess — far beyond the
+    measured ~30 deg identity-init envelope (EVIDENCE.md round 5).  The
+    oracle CoordNet is BASIN-LIMITED: it predicts true NPCS only when the
+    candidate pose canonicalizes the cloud to within tau of the canonical
+    coords and a non-similarity distortion otherwise, so only the residual
+    score (not oracle omniscience) can pick the right candidate."""
+    from captra_tpu.tracking.tracker import (
+        init_pose_from_cloud, search_init_orientation,
+    )
+
+    rng = np.random.RandomState(3)
+    npcs, cam, gt = _make_posed_cloud(rng)
+    cfg = tiny_config(num_parts=1).replace(
+        track=TrackCfg(init_search=40, init_search_steps=2))
+
+    def coord_fn(canon_pts):
+        d = jnp.mean(jnp.linalg.norm(canon_pts - npcs, axis=-1), axis=-1)
+        good = (d < 0.25)[:, None, None]
+        pred = jnp.where(good, jnp.broadcast_to(npcs, canon_pts.shape),
+                         jnp.sin(7.0 * canon_pts) * 0.5)
+        seg = jax.nn.one_hot(
+            jnp.zeros(canon_pts.shape[:2], jnp.int32), cfg.obj.num_seg)
+        return {"seg": seg, "nocs": pred}
+
+    ip = init_pose_from_cloud(cam, 1, cfg.data_radius)
+    # premise: the raw guess is exact in t/s and 120 deg off in rotation
+    assert _rot_angle_deg(ip.rotation[0, 0], gt.rotation[0, 0]) > 100
+    np.testing.assert_allclose(np.asarray(ip.scale), np.asarray(gt.scale),
+                               rtol=1e-4)
+
+    got = jax.jit(lambda p, i: search_init_orientation(
+        coord_fn, p, i, cfg))(cam, ip)
+    assert _rot_angle_deg(got.rotation[0, 0], gt.rotation[0, 0]) < 5.0
+    np.testing.assert_allclose(np.asarray(got.translation),
+                               np.asarray(gt.translation), atol=0.02)
+    np.testing.assert_allclose(np.asarray(got.scale), np.asarray(gt.scale),
+                               rtol=0.05)
+
+
+def test_init_orientation_search_degenerate_falls_back():
+    """All-background segmentation (every candidate degenerate) must return
+    the raw cloud guess unchanged, not NaNs."""
+    from captra_tpu.tracking.tracker import (
+        init_pose_from_cloud, search_init_orientation,
+    )
+
+    rng = np.random.RandomState(4)
+    _, cam, _ = _make_posed_cloud(rng)
+    cfg = tiny_config(num_parts=1).replace(
+        track=TrackCfg(init_search=8, init_search_steps=1))
+
+    def coord_fn(canon_pts):
+        labels = jnp.full(canon_pts.shape[:2], cfg.obj.num_parts, jnp.int32)
+        return {"seg": jax.nn.one_hot(labels, cfg.obj.num_seg),
+                "nocs": canon_pts}
+
+    ip = init_pose_from_cloud(cam, 1, cfg.data_radius)
+    got = search_init_orientation(coord_fn, cam, ip, cfg)
+    np.testing.assert_allclose(np.asarray(got.rotation),
+                               np.asarray(ip.rotation), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.scale), np.asarray(ip.scale),
+                               rtol=1e-5)
