@@ -101,28 +101,43 @@ def _pointnet_from_yaml(raw: Mapping) -> PointNetCfg:
     )
 
 
+# Multi-part categories where forward refinement measurably CONTRACTS
+# drift (see _quality_profile).  Scissors: two large, similar-sized parts
+# give well-conditioned per-part fits — refine x3 beat no-refine on all 4
+# eval draws (full-scan rdiff 10.40/9.25/8.18/8.88 vs 10.70/10.94/10.23/
+# 10.12, runs/q4_scissors_r5/SWEEP_scissors_{base,seed2000,seed3000,
+# seed4000}.log) and on the r=15 CoordNet (6.80 vs 7.28,
+# runs/q4_scissors_r15).
+_REFINE_MULTIPART = ("scissors",)
+
+
 def _quality_profile(obj: ObjCfg) -> dict:
     """track_cfg preset for `quality_profile: best` — the measured best
-    per-category tracking stack (EVIDENCE.md round-3/4 sweep tables).
-    The discriminator is PART COUNT, not symmetry:
+    per-category tracking stack (EVIDENCE.md round-3/4/5 sweep tables).
+    The discriminator is fit conditioning, approximated by part count with
+    a measured per-class carve-out (_REFINE_MULTIPART):
 
     - rigid (1 part; sym bottle/bowl/can AND non-sym camera/laptop/mug):
       absolute NPCS rotation fit + forward refinement; each pass re-solves
       the single root from a better canonicalization, so refinement
       CONTRACTS (sym full-scan rdiff 12.3 -> 4.4 with the r=15 CoordNet;
       non-sym rigid 16.8 -> 11.6, runs/q4_n3_r5).
-    - articulated (multi-part): the absolute fit alone; per-part
-      re-canonicalization by a noisy per-part 3D solve compounds noise, so
-      refinement is fenced off (laptop npcs 11.8 -> npcs+refine3 16.5).
+    - scissors (2 similar-sized parts): refinement also contracts —
+      consistent across 4 independent eval draws (see _REFINE_MULTIPART).
+    - other articulated (laptop/glasses/drawers): the absolute fit alone;
+      per-part re-canonicalization by a noisy per-part 3D solve compounds
+      noise (laptop npcs 11.8 -> npcs+refine3 16.5; glasses 9.56 -> 10.66;
+      drawers 8.74 -> 15.71 on the r=15 nets, runs/q4_*_r15).
 
     Training-side companion (not a tracking knob): train CoordNet with
     pose_perturb/r=15 (--coord_perturb_r) so the NPCS head stays accurate
-    under drifted canonicalization.  Measured scope: sym rigid 12.3->4.4
-    and articulated laptop 11.8->7.3 full-scan rdiff (runs/q4_laptop_r15);
-    the non-sym RIGID class regresses (runs/q4_n3_r15), keep r=5 there —
-    see README "quality profile".
+    under drifted canonicalization.  Measured scope: helps sym rigid
+    (12.3->4.4), laptop (11.8->7.3), glasses (10.61->9.56), scissors
+    (10.40->6.80); REGRESSES non-sym rigid (runs/q4_n3_r15) and drawers
+    (7.01->8.74, runs/q4_drawers_r15) — keep r=5 there.  See README
+    "quality profile".
     """
-    if obj.num_parts == 1:
+    if obj.num_parts == 1 or obj.category in _REFINE_MULTIPART:
         return {"rot_fit": "npcs", "refine_iters": 3,
                 "refine_mode": "forward"}
     return {"rot_fit": "npcs"}

@@ -71,6 +71,28 @@ def test_quality_profile_nonsym_rigid_refines():
     assert cfg.track.refine_mode == "forward"
 
 
+def test_quality_profile_scissors_carveout_refines():
+    # scissors is the measured multi-part exception: refine x3 beat
+    # no-refine on all 4 eval draws (EVIDENCE.md round-5 seed study)
+    cfg = get_config("config_track.yml", {
+        "obj_config": "obj_info_sapien.yml", "obj_category": "scissors",
+        "track_cfg/quality_profile": "best"})
+    assert cfg.obj.num_parts > 1
+    assert cfg.track.rot_fit == "npcs"
+    assert cfg.track.refine_iters == 3
+    assert cfg.track.refine_mode == "forward"
+
+
+def test_quality_profile_glasses_fences_refinement():
+    # 3-part glasses stays fenced (refine hurts: 9.56 -> 10.66 on r15 nets)
+    cfg = get_config("config_track.yml", {
+        "obj_config": "obj_info_sapien.yml", "obj_category": "glasses",
+        "track_cfg/quality_profile": "best"})
+    assert cfg.obj.num_parts > 1
+    assert cfg.track.rot_fit == "npcs"
+    assert cfg.track.refine_iters == 1
+
+
 def test_quality_profile_explicit_flags_win():
     args = _parse(["--quality_profile", "best",
                    "--track_cfg/refine_iters", "1",
