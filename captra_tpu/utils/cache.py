@@ -31,6 +31,52 @@ def raise_stack_limit(want_bytes: int = 512 << 20) -> None:
         pass  # non-POSIX or privilege-restricted: keep the default
 
 
+_PINNED_EXECUTABLES: list = []
+_PIN_INSTALLED = False
+
+
+def pin_loaded_executables() -> None:
+    """Keep every CPU LoadedExecutable alive for the life of the process.
+
+    Mechanism (round-5 core-dump autopsy, see EVIDENCE.md "full-suite
+    segfault"): jaxlib 0.9.0's CPU backend JITs executables through LLVM ORC,
+    which __register_frame()s unwind info for the emitted code pages.  When a
+    LoadedExecutable is destroyed, the code pages are unmapped but libgcc's
+    registered-object bookkeeping can be left stale; the next time the
+    unwinder walks the FDE object list (a C++ throw inside libjax_common, or
+    a later register/deregister classifying objects), it reads through the
+    freed entry and SIGSEGVs.  The crash needs hundreds of compile+destroy
+    cycles before one unwind — exactly what a full pytest run produces (and
+    no production CLI does).
+
+    Pinning the executables removes the destroy half of the cycle: live
+    executables keep their code pages mapped and their EH frames registered,
+    so the unwinder never sees a freed entry.  CPU-only (the TPU backend
+    doesn't JIT host code through ORC), and memory-bounded by the suite's
+    own working set (~GBs on a 125 GB host).
+    """
+    global _PIN_INSTALLED
+    if _PIN_INSTALLED:
+        return
+    from jax._src import compiler as _compiler
+
+    _orig = _compiler.backend_compile_and_load
+
+    def _pinning_compile_and_load(backend, module, executable_devices,
+                                  options, host_callbacks):
+        executable = _orig(backend, module, executable_devices, options,
+                           host_callbacks)
+        try:
+            if getattr(backend, "platform", "") == "cpu":
+                _PINNED_EXECUTABLES.append(executable)
+        except Exception:  # never let pinning break a compile
+            pass
+        return executable
+
+    _compiler.backend_compile_and_load = _pinning_compile_and_load
+    _PIN_INSTALLED = True
+
+
 def enable_compile_cache(path: str | None = None) -> str:
     """Enable JAX's persistent compile cache (process-global).
 

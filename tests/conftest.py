@@ -37,6 +37,17 @@ jax.config.update("jax_enable_x64", False)
 # routes compiles through the cache reader/writer.
 jax.config.update("jax_enable_compilation_cache", False)
 
+# Round-5 fix for the full-suite SIGSEGV (EXIT=139 at ~86%, inside
+# backend_compile_and_load): the core-dump autopsy (EVIDENCE.md) showed the
+# libgcc unwinder reading a freed JIT EH-frame object after hundreds of
+# executable create/destroy cycles — a jaxlib CPU-ORC bookkeeping bug, not a
+# stack or cache issue (round-4's two candidate fixes were already in and the
+# crash reproduced solo).  Mitigation: never destroy CPU executables in this
+# process; pin them for the suite's lifetime.
+from captra_tpu.utils.cache import pin_loaded_executables  # noqa: E402
+
+pin_loaded_executables()
+
 import sys  # noqa: E402
 
 import numpy as np  # noqa: E402
