@@ -98,6 +98,38 @@ def _super_fibonacci_quats(n: int) -> jnp.ndarray:
     return jnp.asarray(q, dtype=jnp.float32)
 
 
+def _fibonacci_sphere(n: int):
+    """n unit vectors low-discrepancy-covering S^2 (golden-angle spiral)."""
+    import numpy as np
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+    y = 1.0 - 2.0 * i / n
+    r = np.sqrt(np.maximum(1.0 - y * y, 0.0))
+    return np.stack([r * np.cos(phi), y, r * np.sin(phi)], -1)
+
+
+def _rots_y_to(dirs) -> "jnp.ndarray":
+    """Minimal rotations taking the canonical +y axis to each unit vector
+    (Rodrigues; the azimuth about the target direction is left at the
+    minimal-rotation value — irrelevant for symmetric categories)."""
+    import numpy as np
+    ey = np.array([0.0, 1.0, 0.0])
+    c = dirs @ ey
+    axis = np.cross(np.broadcast_to(ey, dirs.shape), dirs)
+    s = np.linalg.norm(axis, axis=-1)
+    # near ±y the axis is ill-defined; any orthogonal axis works
+    axis = np.where(s[:, None] > 1e-8, axis / np.maximum(s, 1e-8)[:, None],
+                    np.array([1.0, 0.0, 0.0]))
+    K = np.zeros(dirs.shape[:-1] + (3, 3))
+    K[:, 0, 1], K[:, 0, 2] = -axis[:, 2], axis[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = axis[:, 2], -axis[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -axis[:, 1], axis[:, 0]
+    eye = np.broadcast_to(np.eye(3), K.shape)
+    R = eye + s[:, None, None] * K + \
+        ((1.0 - c))[:, None, None] * (K @ K)
+    return jnp.asarray(R, dtype=jnp.float32)
+
+
 def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
                             init_pose: Pose, cfg: Config) -> Pose:
     """Frame-0 coarse orientation search for GT-less init (DEVIATION — no
@@ -107,18 +139,29 @@ def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
 
     Mitigates the measured identity-init cliff (EVIDENCE.md round 5:
     tracking never re-converges beyond ~30 deg initial orientation error):
-    K = cfg.track.init_search candidate orientations — the guess's own
-    rotation plus a super-Fibonacci SO(3) covering — each run through
+    K = cfg.track.init_search candidate orientations, each run through
     cfg.track.init_search_steps descent passes of
-    {canonicalize -> CoordNet -> absolute NPCS similarity fit}, with all
-    candidates batched into ONE CoordNet forward per pass ([B*K, N, 3] —
-    MXU-friendly, no Python loop over candidates).  The camera-space fit
-    residual of the final pass scores each candidate; the best DESCENDED
-    pose per trajectory (rotation + refitted t/s) seeds the scan.
+    {canonicalize -> CoordNet -> absolute NPCS similarity fit}, candidates
+    batched into the CoordNet forward in chunks (MXU-friendly, lax.map over
+    chunks — compiles once).  The camera-space fit residual of the final
+    pass scores each candidate; the best DESCENDED pose per trajectory
+    (rotation + refitted t/s) seeds the scan.
 
-    Cost: init_search_steps CoordNet forwards at batch B*K, on frame 0
-    only.  points: [B, N, 3] camera cloud of frame 0; init_pose: [B, P]
-    guess (typically init_pose_from_cloud's identity-rotation pose)."""
+    Candidate-set geometry (the round-5 v1 failure was HERE, not only in
+    the scorer — EVIDENCE.md "v1 scorer: REJECTED"): a K-point covering of
+    full SO(3) has covering radius ~60 deg at K=32, far outside the
+    ~15-30 deg convergence basin, so no candidate could ever seed a
+    recoverable track.  v2 therefore covers
+      * sym categories: the 2-sphere of y-axis directions (the azimuth is
+        unobservable), via a Fibonacci spiral — K=64 spaces ~15 deg;
+      * non-sym: full SO(3) via super-Fibonacci — needs K >= ~256 for a
+        ~20 deg covering radius (scorer diagnosis:
+        scripts/init_search_scorer_diag.py, which also showed the fit
+        residual ranks candidates correctly once one is in-basin).
+
+    Cost: init_search_steps CoordNet forwards at batch B*K (chunked), on
+    frame 0 only.  points: [B, N, 3] camera cloud of frame 0; init_pose:
+    [B, P] guess (typically init_pose_from_cloud's identity rotation)."""
     from captra_tpu.pose import rotations as rot
     from captra_tpu.pose.pose_fit import filter_valid, labels_to_part_mask
     from captra_tpu.pose.procrustes import similarity_fit
@@ -129,66 +172,92 @@ def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
     B, N, _ = points.shape
     P = obj.num_parts
 
-    cand = jnp.eye(3, dtype=points.dtype)[None]           # the guess itself
+    cand = jnp.eye(3, dtype=jnp.float32)[None]            # the guess itself
     if K > 1:
+        if obj.sym:
+            cand = jnp.concatenate(
+                [cand, _rots_y_to(_fibonacci_sphere(K - 1))], 0)
+        else:
+            cand = jnp.concatenate(
+                [cand, rot.quat_to_matrix(_super_fibonacci_quats(K - 1))],
+                0)
+
+    # chunk the candidate axis so each CoordNet forward stays a moderate
+    # batch (B * KC <= 1024); lax.map compiles the chunk body once
+    KC = max(1, min(K, -(-1024 // B)))
+    G = -(-K // KC)
+    Kp = G * KC
+    if Kp != K:  # pad with repeats of candidate 0 (never better than it)
         cand = jnp.concatenate(
-            [cand, rot.quat_to_matrix(_super_fibonacci_quats(K - 1))], 0)
-    pose = Pose(
-        rotation=jnp.einsum("kij,bpjl->bkpil", cand,
-                            init_pose.rotation).reshape(B * K, P, 3, 3),
-        translation=jnp.broadcast_to(
-            init_pose.translation[:, None],
-            (B, K, P, 3, 1)).reshape(B * K, P, 3, 1),
-        scale=jnp.broadcast_to(init_pose.scale[:, None],
-                               (B, K, P)).reshape(B * K, P))
-    pts = jnp.broadcast_to(points[:, None], (B, K, N, 3)).reshape(B * K, N, 3)
-    points_mean = jnp.mean(pts, axis=1)
-    centered = pts - points_mean[:, None]
-    cam = pts[:, None]                                    # [BK, 1, N, 3]
+            [cand, jnp.broadcast_to(cand[:1], (Kp - K, 3, 3))], 0)
 
-    score = None
-    for _ in range(max(int(cfg.track.init_search_steps), 1)):
-        root_pose = Pose(rotation=pose.rotation[:, root],
-                         translation=pose.translation[:, root],
-                         scale=pose.scale[:, root])
-        out = coord_fn(canonicalize(centered, points_mean, root_pose))
-        labels = jnp.argmax(out["seg"], axis=-1)          # [BK, N]
-        pred_npcs = jnp.moveaxis(
-            out["nocs"].reshape(B * K, N, P, 3), 2, 1)    # [BK, P, N, 3]
-        mask = labels_to_part_mask(labels, P)             # [BK, P, N]
-        r_fit, s_fit, t_fit = similarity_fit(pred_npcs, cam, mask,
-                                             sym=obj.sym)
-        fitted = Pose(rotation=r_fit, translation=t_fit, scale=s_fit)
-        valid = filter_valid(fitted, jnp.sum(mask, -1) > 3,
-                             min_scale=1e-4)              # [BK, P]
+    rot_all = jnp.einsum("kij,bpjl->kbpil", cand, init_pose.rotation)
+    t_all = jnp.broadcast_to(init_pose.translation[None],
+                             (Kp, B, P, 3, 1))
+    s_all = jnp.broadcast_to(init_pose.scale[None], (Kp, B, P))
+    points_mean = jnp.mean(points, axis=1)                # [B, 3]
+    centered = points - points_mean[:, None]              # [B, N, 3]
+    steps = max(int(cfg.track.init_search_steps), 1)
 
-        def sel(n, o):
-            v = valid.reshape(valid.shape + (1,) * (n.ndim - 2))
-            return jnp.where(v, n, o)
+    def chunk_body(args):
+        r0, t0, s0 = args                                 # [KC, B, ...]
+        M = KC * B
+        pose = Pose(rotation=r0.reshape(M, P, 3, 3),
+                    translation=t0.reshape(M, P, 3, 1),
+                    scale=s0.reshape(M, P))
+        ctr = jnp.broadcast_to(centered[None], (KC, B, N, 3)).reshape(
+            M, N, 3)
+        mean = jnp.broadcast_to(points_mean[None], (KC, B, 3)).reshape(M, 3)
+        cam = ctr[:, None] + mean[:, None, None]          # [M, 1, N, 3]
 
-        pose = jax.tree.map(sel, fitted, pose)
-        # score = camera-space residual of THIS pass's fit (a wrong-basin
-        # candidate predicts NPCS inconsistent with any similarity
-        # transform of the observed cloud, so its residual stays high);
-        # degenerate parts are excluded, all-degenerate candidates sink
-        posed = s_fit[..., None, None] * (
-            pred_npcs @ jnp.swapaxes(r_fit, -1, -2)) \
-            + jnp.swapaxes(t_fit, -1, -2)
-        resid = jnp.sum((posed - cam) ** 2, axis=-1)      # [BK, P, N]
-        w = mask * valid[..., None].astype(mask.dtype)
-        tot = jnp.sum(w, axis=(-1, -2))
-        score = jnp.sum(resid * w, axis=(-1, -2)) / jnp.maximum(tot, 1.0)
-        score = jnp.where(tot > 3, score, jnp.inf)
+        score = None
+        for _ in range(steps):
+            root_pose = Pose(rotation=pose.rotation[:, root],
+                             translation=pose.translation[:, root],
+                             scale=pose.scale[:, root])
+            out = coord_fn(canonicalize(ctr, mean, root_pose))
+            labels = jnp.argmax(out["seg"], axis=-1)      # [M, N]
+            pred_npcs = jnp.moveaxis(
+                out["nocs"].reshape(M, N, P, 3), 2, 1)    # [M, P, N, 3]
+            mask = labels_to_part_mask(labels, P)         # [M, P, N]
+            r_fit, s_fit, t_fit = similarity_fit(pred_npcs, cam, mask,
+                                                 sym=obj.sym)
+            fitted = Pose(rotation=r_fit, translation=t_fit, scale=s_fit)
+            valid = filter_valid(fitted, jnp.sum(mask, -1) > 3,
+                                 min_scale=1e-4)          # [M, P]
 
-    score = score.reshape(B, K)
-    best = jnp.argmin(score, axis=1)                      # [B]
+            def sel(n, o):
+                v = valid.reshape(valid.shape + (1,) * (n.ndim - 2))
+                return jnp.where(v, n, o)
+
+            pose = jax.tree.map(sel, fitted, pose)
+            # score = camera-space residual of THIS pass's fit; degenerate
+            # parts are excluded, all-degenerate candidates sink
+            posed = s_fit[..., None, None] * (
+                pred_npcs @ jnp.swapaxes(r_fit, -1, -2)) \
+                + jnp.swapaxes(t_fit, -1, -2)
+            resid = jnp.sum((posed - cam) ** 2, axis=-1)  # [M, P, N]
+            w = mask * valid[..., None].astype(mask.dtype)
+            tot = jnp.sum(w, axis=(-1, -2))
+            score = jnp.sum(resid * w, axis=(-1, -2)) / jnp.maximum(tot, 1.)
+            score = jnp.where(tot > 3, score, jnp.inf)
+
+        return (jax.tree.map(lambda x: x.reshape((KC, B) + x.shape[1:]),
+                             pose), score.reshape(KC, B))
+
+    chunked = (rot_all.reshape(G, KC, B, P, 3, 3),
+               t_all.reshape(G, KC, B, P, 3, 1),
+               s_all.reshape(G, KC, B, P))
+    poses, scores = jax.lax.map(chunk_body, chunked)      # [G, KC, B, ...]
+    scores = scores.reshape(Kp, B).T                      # [B, Kp]
+    best = jnp.argmin(scores, axis=1)                     # [B]
 
     def pick(x):
-        return x.reshape((B, K) + x.shape[1:])[jnp.arange(B), best]
+        return x.reshape((Kp, B) + x.shape[3:])[best, jnp.arange(B)]
 
-    chosen = jax.tree.map(pick, pose)
+    chosen = jax.tree.map(pick, poses)
     # every candidate degenerate (e.g. an empty cloud): keep the raw guess
-    ok = jnp.isfinite(jnp.min(score, axis=1))
+    ok = jnp.isfinite(jnp.min(scores, axis=1))
 
     def fb(c, g):
         return jnp.where(ok.reshape((B,) + (1,) * (c.ndim - 1)), c, g)

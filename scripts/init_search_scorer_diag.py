@@ -159,28 +159,55 @@ def main():
         c = jnp.clip((tr - 1) / 2, -1, 1)
         return jnp.rad2deg(jnp.arccos(c))
 
+    def yaxis_deg(Ra, Rb):
+        # sym-aware: angle between the rotated canonical y axes (the only
+        # observable rotation DoF for a symmetric category)
+        c = jnp.clip(jnp.sum(Ra[..., :, 1] * Rb[..., :, 1], -1), -1, 1)
+        return jnp.rad2deg(jnp.arccos(c))
+
+    ang = yaxis_deg if obj.sym else geo_deg
     # drift: candidate rotation vs its own fit (root part), identity copy
-    drift = geo_deg(R0[:, root], fitted.rotation[:, root]).reshape(B, K, J)
+    drift = ang(R0[:, root], fitted.rotation[:, root]).reshape(B, K, J)
     resid = np.asarray(resid).reshape(B, K, J)
     # spread: disagreement of the J fitted rotations per candidate
     fr = fitted.rotation.reshape(B, K, J, P, 3, 3)[:, :, :, root]
     sp = []
     for a in range(J):
         for bb in range(a + 1, J):
-            sp.append(geo_deg(fr[:, :, a], fr[:, :, bb]))
+            sp.append(ang(fr[:, :, a], fr[:, :, bb]))
     spread = np.asarray(jnp.mean(jnp.stack(sp), axis=0))      # [B, K]
+    # npcs-range: out-of-basin "copy input" predictions are a similarity of
+    # the raw cloud, which for a wrong orientation places NPCS mass outside
+    # the canonical [-r, r] box along axes the category constrains
+    # (cheap shape prior: fraction of |npcs| > data_radius)
+    # drift measured on the FIRST pass (before the fit re-centers)
+    drift_first = ang(R0[:, root],
+                      first_in.rotation[:, root]).reshape(B, K, J)
+
+    # convergence map: fitted pose error to GT per offset — tells whether
+    # in-basin candidates actually descend to GT (prerequisite for any
+    # mode-clustering scorer)
+    gtR = jnp.broadcast_to(gt0.rotation[:, None, None, root],
+                           (B, K, J, 3, 3))
+    err_gt = ang(fr, gtR)                                     # [B, K, J]
 
     resid_id = resid[:, :, 0]
     drift_id = np.asarray(drift)[:, :, 0]
-    print(f"\n{'offset':>8} {'resid(v1)':>12} {'drift':>8} {'spread':>8}")
+    drift1_id = np.asarray(drift_first)[:, :, 0]
+    err_id = np.asarray(err_gt)[:, :, 0]
+    print(f"(angle metric: {'y-axis' if obj.sym else 'geodesic'})")
+    print(f"\n{'offset':>8} {'resid(v1)':>12} {'drift':>8} {'drift1':>8} "
+          f"{'spread':>8} {'err->GT':>8}")
     for k, off in enumerate(offsets):
         print(f"{off:8.0f} {np.nanmean(resid_id[:, k]):12.6f} "
               f"{np.nanmean(drift_id[:, k]):8.2f} "
-              f"{np.nanmean(spread[:, k]):8.2f}")
+              f"{np.nanmean(drift1_id[:, k]):8.2f} "
+              f"{np.nanmean(spread[:, k]):8.2f} "
+              f"{np.nanmean(err_id[:, k]):8.2f}")
 
     offs = np.asarray(offsets)
     for name, sc in [("resid(v1)", resid_id), ("drift", drift_id),
-                     ("spread", spread),
+                     ("drift1", drift1_id), ("spread", spread),
                      ("spread+resid", spread + 100.0 * resid_id)]:
         pick = np.nanargmin(sc, axis=1)
         chosen = offs[pick]

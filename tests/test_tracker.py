@@ -862,6 +862,50 @@ def test_init_orientation_search_recovers_rotation():
                                rtol=0.05)
 
 
+def test_init_orientation_search_sym_yaxis_candidates():
+    """For SYM categories the search covers the 2-sphere of y-axis
+    directions (azimuth is unobservable — v2 geometry, EVIDENCE.md round
+    5): a y-axis ~90 deg off the identity guess must be recovered with a
+    K=64 covering.  The oracle is basin-limited in an AZIMUTH-INVARIANT
+    way (gates on per-point (y, radius) profiles, which any rotation about
+    y preserves), so a full-SO(3) candidate set of this size could not
+    reliably land in basin but the y-axis covering can."""
+    from captra_tpu.tracking.tracker import (
+        init_pose_from_cloud, search_init_orientation,
+    )
+
+    rng = np.random.RandomState(6)
+    npcs, cam, gt = _make_posed_cloud(rng, theta_deg=92.0)
+    cfg = tiny_config(num_parts=1, sym=True).replace(
+        track=TrackCfg(init_search=64, init_search_steps=2))
+
+    y_n = npcs[0, :, 1]
+    r_n = jnp.linalg.norm(npcs[0, :, (0, 2)], axis=0)
+
+    def coord_fn(canon_pts):
+        y_c = canon_pts[..., 1]
+        r_c = jnp.sqrt(canon_pts[..., 0] ** 2 + canon_pts[..., 2] ** 2)
+        d = jnp.mean(jnp.abs(y_c - y_n) + jnp.abs(r_c - r_n), axis=-1)
+        good = (d < 0.12)[:, None, None]
+        pred = jnp.where(good, jnp.broadcast_to(npcs, canon_pts.shape),
+                         jnp.sin(7.0 * canon_pts) * 0.5)
+        seg = jax.nn.one_hot(
+            jnp.zeros(canon_pts.shape[:2], jnp.int32), cfg.obj.num_seg)
+        return {"seg": seg, "nocs": pred}
+
+    ip = init_pose_from_cloud(cam, 1, cfg.data_radius)
+    gt_y = np.asarray(gt.rotation[0, 0])[:, 1]
+    ip_y = np.asarray(ip.rotation[0, 0])[:, 1]
+    assert np.degrees(np.arccos(np.clip(ip_y @ gt_y, -1, 1))) > 80
+
+    got = jax.jit(lambda p, i: search_init_orientation(
+        coord_fn, p, i, cfg))(cam, ip)
+    got_y = np.asarray(got.rotation[0, 0])[:, 1]
+    assert np.degrees(np.arccos(np.clip(got_y @ gt_y, -1, 1))) < 5.0
+    np.testing.assert_allclose(np.asarray(got.scale), np.asarray(gt.scale),
+                               rtol=0.05)
+
+
 def test_init_orientation_search_degenerate_falls_back():
     """All-background segmentation (every candidate degenerate) must return
     the raw cloud guess unchanged, not NaNs."""
