@@ -138,6 +138,138 @@ def _fps_wide_kernel(npoint: int, xyz_ref, rows_ref, out_ref, dist_ref,
     _store_chunked(npoint, out_ref, buf_ref, pick)
 
 
+def _fps_blocked_kernel(npoint: int, ntiles: int, xyz_rows_ref, out_ref,
+                        dist_ref, bm_ref, bb_ref, buf_ref):
+    """Blocked lazy-update exact FPS for LARGE single clouds.
+
+    The wide kernel pays a full distance-update pass (N/1024 vregs x 3
+    coords) plus a full-array argmax tree per pick; at the OTF crop size
+    (N ~ 20k, npoint 4096) that is ~2.3 ms of the 4 ms frame.  This kernel
+    keeps two auxiliary structures so most of that work is skipped:
+
+    * `bm[s, j]` — the running max of dist over row `8*j + s` (rows are 128
+      CONTIGUOUS input points; the crop feeds scan-order points, so rows
+      are spatially coherent);
+    * per-row axis-aligned bounding boxes (`bb`, computed once).
+
+    Per pick: a ONE-vreg lower-bound test (point-to-bbox distance vs bm)
+    selects which 8-row tiles the new pick could possibly shrink —
+    `min(dist_j, d_j) == dist_j` whenever `lb^2 >= max_row(dist)`, so
+    skipped tiles are bit-identical, not approximated (an ulp-safety
+    factor keeps the f32-rounded lb conservative).  The global argmax then
+    reduces over `bm` (one vreg) instead of the full array, followed by a
+    single dynamic-row load for the in-row index.  Late in the sweep a
+    pick touches only a few tiles, so per-pick cost drops from O(N) to
+    O(touched) + O(ntiles).
+
+    Same max-min semantics, deterministic start 0, smallest-flat-index
+    tie-breaking as the other kernels (sampling_gpu.cu:92-253 /
+    pointnet_utils.py:127-138 conventions).
+    """
+    T = ntiles
+    R = T * SUBLANE
+    dist_ref[:] = jnp.full_like(dist_ref, 1e10)
+    bm_ref[:] = jnp.full_like(bm_ref, 1e10)
+    # per-row bounding boxes, once: column j <- rows 8j..8j+8
+    for j in range(T):
+        sl = pl.ds(j * SUBLANE, SUBLANE)
+        xt = xyz_rows_ref[0, sl, :]
+        yt = xyz_rows_ref[1, sl, :]
+        zt = xyz_rows_ref[2, sl, :]
+        cj = pl.ds(j, 1)
+        bb_ref[0, :, cj] = jnp.min(xt, axis=-1, keepdims=True)
+        bb_ref[1, :, cj] = jnp.max(xt, axis=-1, keepdims=True)
+        bb_ref[2, :, cj] = jnp.min(yt, axis=-1, keepdims=True)
+        bb_ref[3, :, cj] = jnp.max(yt, axis=-1, keepdims=True)
+        bb_ref[4, :, cj] = jnp.min(zt, axis=-1, keepdims=True)
+        bb_ref[5, :, cj] = jnp.max(zt, axis=-1, keepdims=True)
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # block id (s, j) -> row 8j + s; flat point = row * 128 + lane
+    bidx = (jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, T), 0) +
+            SUBLANE * jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, T), 1))
+    pow2 = jax.lax.shift_left(
+        jnp.int32(1),
+        jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)).astype(jnp.float32)
+
+    def pick(i, farthest):  # farthest: [SUBLANE, 1] int32, rows identical
+        f = farthest[0, 0]
+        chunk = xyz_rows_ref[:, pl.ds(f // 128, 1), :]        # [3, 1, 128]
+        sel = lane128 == f % 128
+        v = jnp.max(jnp.where(sel[None], chunk, jnp.float32(-jnp.inf)),
+                    axis=-1)                                  # [3, 1]
+        px, py, pz = v[0, 0], v[1, 0], v[2, 0]
+        # lower-bound (point -> row bbox) distance^2, [SUBLANE, T]
+        dx = jnp.maximum(jnp.maximum(bb_ref[0] - px, px - bb_ref[1]), 0.0)
+        dy = jnp.maximum(jnp.maximum(bb_ref[2] - py, py - bb_ref[3]), 0.0)
+        dz = jnp.maximum(jnp.maximum(bb_ref[4] - pz, pz - bb_ref[5]), 0.0)
+        lb2 = (dx * dx + dy * dy + dz * dz) * jnp.float32(0.999999)
+        need = lb2 < bm_ref[:]
+        bits = jnp.sum(jnp.max(jnp.where(need, pow2, 0.0), axis=0,
+                               keepdims=True)).astype(jnp.int32)
+        for j in range(T):
+            @pl.when(((bits >> j) & 1) == 1)
+            def _update(j=j):
+                sl = pl.ds(j * SUBLANE, SUBLANE)
+                d = ((xyz_rows_ref[0, sl, :] - px) ** 2 +
+                     (xyz_rows_ref[1, sl, :] - py) ** 2 +
+                     (xyz_rows_ref[2, sl, :] - pz) ** 2)
+                dc = jnp.minimum(dist_ref[sl, :], d)
+                dist_ref[sl, :] = dc
+                bm_ref[:, pl.ds(j, 1)] = jnp.max(dc, axis=-1, keepdims=True)
+        # argmax over row maxima, then within the winning row
+        bm = bm_ref[:]
+        m = jnp.max(bm)
+        rbest = jnp.min(jnp.where(bm == m, bidx, R)).astype(jnp.int32)
+        row = dist_ref[pl.ds(rbest, 1), :]                    # [1, 128]
+        lbest = jnp.min(jnp.where(row == m, lane128, 128),
+                        axis=-1, keepdims=True)               # [1, 1]
+        nxt = rbest * 128 + lbest[0, 0].astype(jnp.int32)
+        return jnp.broadcast_to(jnp.reshape(nxt, (1, 1)), (SUBLANE, 1))
+
+    _store_chunked(npoint, out_ref, buf_ref, pick)
+
+
+# the bits mask packs one tile-needs-update flag per power of two in an
+# exactly-representable f32 sum: 24 tiles (24576 points) is the cap
+_BLOCKED_MAX_TILES = 24
+_BLOCKED_MIN_POINTS = 8 * SUBLANE * 128  # below this the wide kernel wins
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+def fps_pallas_blocked_t(xyz_t: jnp.ndarray, npoint: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Blocked lazy-update FPS on planes input [B, 3, N] -> [B, npoint]."""
+    B, _, N = xyz_t.shape
+    TILE = SUBLANE * 128
+    T = -(-N // TILE)
+    assert T <= _BLOCKED_MAX_TILES, "use the wide kernel beyond 24k points"
+    Np = T * TILE
+    R = T * SUBLANE
+    xyz_t = xyz_t.astype(jnp.float32)
+    if Np != N:
+        # pad with copies of point 0 (distance-0 duplicates; see wide)
+        pad = jnp.broadcast_to(xyz_t[:, :, :1], (B, 3, Np - N))
+        xyz_t = jnp.concatenate([xyz_t, pad], axis=-1)
+    rows = xyz_t.reshape(B, 3, R, 128)
+    rows = jnp.swapaxes(rows, 0, 1).reshape(3, B * R, 128)
+    out = pl.pallas_call(
+        functools.partial(_fps_blocked_kernel, npoint, T),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((3, R, 128), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((SUBLANE, npoint), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * SUBLANE, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((R, 128), jnp.float32),
+                        pltpu.VMEM((SUBLANE, T), jnp.float32),
+                        pltpu.VMEM((6, SUBLANE, T), jnp.float32),
+                        pltpu.VMEM((SUBLANE, _OUT_CHUNK), jnp.int32)],
+        interpret=interpret,
+    )(rows)
+    return out.reshape(B, SUBLANE, npoint)[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
 def fps_pallas_wide(xyz: jnp.ndarray, npoint: int,
                     interpret: bool = False) -> jnp.ndarray:
@@ -192,6 +324,9 @@ def fps_pallas_t(xyz_t: jnp.ndarray, npoint: int,
     reached from planes layout by a cheap batch-axis transpose only.
     """
     B, _, N = xyz_t.shape
+    if (B < SUBLANE
+            and _BLOCKED_MIN_POINTS <= N <= _BLOCKED_MAX_TILES * SUBLANE * 128):
+        return fps_pallas_blocked_t(xyz_t, npoint, interpret=interpret)
     if B < SUBLANE and N >= SUBLANE * 128:
         return fps_pallas_wide_t(xyz_t, npoint, interpret=interpret)
     Bp = -(-B // SUBLANE) * SUBLANE

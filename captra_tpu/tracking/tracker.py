@@ -183,8 +183,10 @@ def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
                 0)
 
     # chunk the candidate axis so each CoordNet forward stays a moderate
-    # batch (B * KC <= 1024); lax.map compiles the chunk body once
-    KC = max(1, min(K, -(-1024 // B)))
+    # batch (B * KC <= 128 — the SA-MSG grouping buffers scale as
+    # batch * centers * neighbors * channels and OOM HBM well before the
+    # cloud tensor itself does); lax.map compiles the chunk body once
+    KC = max(1, min(K, -(-128 // B)))
     G = -(-K // KC)
     Kp = G * KC
     if Kp != K:  # pad with repeats of candidate 0 (never better than it)

@@ -96,6 +96,29 @@ def test_fps_pallas_wide_interpret_padded(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fps_pallas_blocked_interpret_matches_oracle(rng):
+    # blocked lazy-update kernel (per-row maxima + bbox pruning): the
+    # pruning must be bit-invisible — identical picks to the numpy oracle
+    from captra_tpu.ops.fps_pallas import fps_pallas_blocked_t
+    xyz = rng.randn(1, 8192, 3).astype(np.float32)
+    want = np_fps(xyz, 96)
+    got = np.asarray(fps_pallas_blocked_t(
+        jnp.swapaxes(jnp.asarray(xyz), -1, -2), 96, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_pallas_blocked_interpret_padded(rng):
+    # N not a multiple of 8*8*128, scan-order-ish coherent data (sorted by
+    # one axis, the layout the OTF crop feeds): pads are copies of point 0
+    from captra_tpu.ops.fps_pallas import fps_pallas_blocked_t
+    xyz = rng.randn(1, 9000, 3).astype(np.float32)
+    xyz = xyz[:, np.argsort(xyz[0, :, 1])]
+    want = np_fps(xyz, 64)
+    got = np.asarray(fps_pallas_blocked_t(
+        jnp.swapaxes(jnp.asarray(xyz), -1, -2), 64, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fps_spreads_points():
     # A cloud with 4 well-separated clusters: FPS(4) must hit all of them.
     centers = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0], [0, 0, 10]],
