@@ -199,6 +199,18 @@ class TrackCfg:
     # descend-and-score passes per candidate (each = one CoordNet forward
     # at batch B*K plus an absolute similarity fit)
     init_search_steps: int = 2
+    # mode-clustering radius (degrees) for candidate selection: descended
+    # candidates within tau of each other are one mode, and the densest
+    # mode wins (fit-residual tie-break inside it).  Rationale (scorer
+    # diagnosis, EVIDENCE.md round 5): every PER-candidate scorer is flat
+    # in the offset — out-of-basin candidates make the CoordNet "copy" the
+    # canonicalized input, which is self-consistent for any orientation —
+    # but in-basin candidates all DESCEND TO THE SAME POSE while copies
+    # stay pinned at their ~covering-radius-spaced grid positions, so
+    # cross-candidate agreement separates where no per-candidate score
+    # does.  <= 0 disables clustering (pure residual argmin, the v1/v2
+    # scorer, measured WORSE than no search).
+    init_search_tau: float = 10.0
     motion_model: str = "none"
     # fraction of the estimated per-frame delta applied at prediction time.
     # The steady-state rotation lag under constant motion m and correction

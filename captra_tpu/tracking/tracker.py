@@ -143,9 +143,11 @@ def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
     cfg.track.init_search_steps descent passes of
     {canonicalize -> CoordNet -> absolute NPCS similarity fit}, candidates
     batched into the CoordNet forward in chunks (MXU-friendly, lax.map over
-    chunks — compiles once).  The camera-space fit residual of the final
-    pass scores each candidate; the best DESCENDED pose per trajectory
-    (rotation + refitted t/s) seeds the scan.
+    chunks — compiles once).  Selection (v3): densest MODE of the descended
+    rotations within init_search_tau degrees, residual tie-break inside the
+    mode (see the schema comment for why per-candidate residual alone —
+    v1/v2, init_search_tau <= 0 — carries no orientation signal); the best
+    DESCENDED pose per trajectory (rotation + refitted t/s) seeds the scan.
 
     Candidate-set geometry (the round-5 v1 failure was HERE, not only in
     the scorer — EVIDENCE.md "v1 scorer: REJECTED"): a K-point covering of
@@ -252,7 +254,30 @@ def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
                s_all.reshape(G, KC, B, P))
     poses, scores = jax.lax.map(chunk_body, chunked)      # [G, KC, B, ...]
     scores = scores.reshape(Kp, B).T                      # [B, Kp]
-    best = jnp.argmin(scores, axis=1)                     # [B]
+    tau = float(cfg.track.init_search_tau)
+    if tau > 0.0:
+        # v3 mode-clustering selection (the scorer that actually carries
+        # orientation signal — see the schema comment / EVIDENCE round 5):
+        # in-basin candidates descend onto GT and agree pairwise; copies
+        # stay ~candidate-spacing apart.  Densest mode wins; residual
+        # breaks ties inside it.
+        rroot = poses.rotation.reshape(Kp, B, P, 3, 3)[:, :, root]
+        if obj.sym:
+            # only the y-axis direction is observable for sym categories
+            ax = rroot[..., :, 1]                         # [Kp, B, 3]
+            cosang = jnp.einsum("kbi,lbi->bkl", ax, ax)
+        else:
+            tr = jnp.einsum("kbij,lbij->bkl", rroot, rroot)
+            cosang = (tr - 1.0) * 0.5
+        cos_tau = jnp.cos(jnp.deg2rad(tau))
+        finite = jnp.isfinite(scores)                     # [B, Kp]
+        near = (cosang >= cos_tau) & finite[:, None, :] & finite[:, :, None]
+        count = jnp.sum(near, axis=-1)                    # [B, Kp]
+        count = jnp.where(finite, count, -1)
+        in_mode = count == jnp.max(count, axis=1, keepdims=True)
+        best = jnp.argmin(jnp.where(in_mode, scores, jnp.inf), axis=1)
+    else:
+        best = jnp.argmin(scores, axis=1)                 # [B]
 
     def pick(x):
         return x.reshape((Kp, B) + x.shape[3:])[best, jnp.arange(B)]

@@ -81,6 +81,9 @@ def main():
                     help="K>0 runs the frame-0 orientation search "
                          "(track_cfg/init_search) on the cloud init rows")
     ap.add_argument("--init_search_steps", type=int, default=2)
+    ap.add_argument("--init_search_tau", type=float, default=10.0,
+                    help="mode-clustering radius in degrees (<=0 = the "
+                         "rejected v1/v2 pure-residual selection)")
     ap.add_argument("--quality_profile", default="reference",
                     choices=["reference", "best"])
     ap.add_argument("--out", default=None, help="optional JSON report path")
@@ -114,6 +117,7 @@ def main():
         "network/norm": args.norm,
         "track_cfg/init_search": args.init_search,
         "track_cfg/init_search_steps": args.init_search_steps,
+        "track_cfg/init_search_tau": args.init_search_tau,
         "track_cfg/quality_profile": args.quality_profile})
     coord, rotn = CoordNet(cfg), RotNet(cfg)
 

@@ -906,6 +906,57 @@ def test_init_orientation_search_sym_yaxis_candidates():
                                rtol=0.05)
 
 
+def test_init_orientation_search_mode_clustering_beats_residual():
+    """The measured v1/v2 failure mode (EVIDENCE.md round 5, scorer
+    diagnosis): out-of-basin candidates make the CoordNet COPY the
+    canonicalized input, which fits back to the candidate pose with
+    residual ~0 — BELOW the in-basin candidates' honest noise floor — so
+    pure-residual selection picks a copy.  This oracle reproduces that
+    exactly (copies have residual 0, in-basin predictions carry 0.01
+    noise): selection with init_search_tau<=0 (v1/v2) must fail, and the
+    v3 mode clustering — in-basin candidates all descend onto GT while
+    copies stay pinned ~covering-spacing apart — must recover the pose."""
+    from captra_tpu.tracking.tracker import (
+        init_pose_from_cloud, search_init_orientation,
+    )
+
+    rng = np.random.RandomState(9)
+    npcs, cam, gt = _make_posed_cloud(rng, theta_deg=95.0)
+    noise = jnp.asarray(rng.randn(*np.asarray(npcs).shape) * 0.01,
+                        jnp.float32)
+
+    y_n = npcs[0, :, 1]
+    r_n = jnp.linalg.norm(npcs[0, :, (0, 2)], axis=0)
+
+    def coord_fn(canon_pts):
+        y_c = canon_pts[..., 1]
+        r_c = jnp.sqrt(canon_pts[..., 0] ** 2 + canon_pts[..., 2] ** 2)
+        d = jnp.mean(jnp.abs(y_c - y_n) + jnp.abs(r_c - r_n), axis=-1)
+        good = (d < 0.2)[:, None, None]
+        pred = jnp.where(good, jnp.broadcast_to(npcs + noise,
+                                                canon_pts.shape),
+                         canon_pts)  # out-of-basin: perfect input copy
+        seg = jax.nn.one_hot(
+            jnp.zeros(canon_pts.shape[:2], jnp.int32),
+            cfg_sym.obj.num_seg)
+        return {"seg": seg, "nocs": pred}
+
+    cfg_sym = tiny_config(num_parts=1, sym=True)
+    gt_y = np.asarray(gt.rotation[0, 0])[:, 1]
+
+    def run(tau):
+        cfg = cfg_sym.replace(track=TrackCfg(
+            init_search=64, init_search_steps=2, init_search_tau=tau))
+        ip = init_pose_from_cloud(cam, 1, cfg.data_radius)
+        got = jax.jit(lambda p, i: search_init_orientation(
+            coord_fn, p, i, cfg))(cam, ip)
+        got_y = np.asarray(got.rotation[0, 0])[:, 1]
+        return np.degrees(np.arccos(np.clip(got_y @ gt_y, -1, 1)))
+
+    assert run(0.0) > 20.0      # v1/v2 pure residual: fooled by a copy
+    assert run(10.0) < 5.0      # v3 mode clustering: recovers
+
+
 def test_init_orientation_search_degenerate_falls_back():
     """All-background segmentation (every candidate degenerate) must return
     the raw cloud guess unchanged, not NaNs."""
