@@ -27,6 +27,7 @@ on TPU: minor dim 3) never materializes on the hot path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -236,6 +237,18 @@ _BLOCKED_MAX_TILES = 24
 _BLOCKED_MIN_POINTS = 8 * SUBLANE * 128  # below this the wide kernel wins
 
 
+def _use_blocked() -> bool:
+    """Opt-in (CAPTRA_FPS_BLOCKED=1): measured END-TO-END in the OTF b1
+    tracking scan, the blocked lazy-update kernel REGRESSED the frame time
+    (6.6 ms vs 4.0 ms wide, bench.py otf_b1 150.7 vs 251.5 fps) despite
+    winning isolated microbenches — the per-pick tile-mask bookkeeping and
+    20-way unrolled @pl.when chain cost more than the pruning saves at the
+    crop's ~20k-point scale (and isolated timings through the remote
+    tunnel are unreliable: repeated (program, input) dispatches get served
+    from a cache).  Kept for experimentation on bigger clouds."""
+    return os.environ.get("CAPTRA_FPS_BLOCKED") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
 def fps_pallas_blocked_t(xyz_t: jnp.ndarray, npoint: int,
                          interpret: bool = False) -> jnp.ndarray:
@@ -324,7 +337,7 @@ def fps_pallas_t(xyz_t: jnp.ndarray, npoint: int,
     reached from planes layout by a cheap batch-axis transpose only.
     """
     B, _, N = xyz_t.shape
-    if (B < SUBLANE
+    if (B < SUBLANE and _use_blocked()
             and _BLOCKED_MIN_POINTS <= N <= _BLOCKED_MAX_TILES * SUBLANE * 128):
         return fps_pallas_blocked_t(xyz_t, npoint, interpret=interpret)
     if B < SUBLANE and N >= SUBLANE * 128:

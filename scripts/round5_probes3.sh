@@ -37,7 +37,7 @@ run runs/q4_probes/gtless_laptop_search_v3.log \
     --coord runs/q4_laptop_r5/canon_coord/ckpt/model_0000 \
     --rot runs/q4_laptop_r5/rot/ckpt/model_0000 \
     --obj_config obj_info_sapien.yml --category laptop \
-    --init_search 384 --init_search_steps 4 --init_search_tau 12 \
+    --init_search 384 --init_search_steps 6 --init_search_tau 15 \
     --out runs/q4_probes/gtless_laptop_search_v3.json
 
 echo "== round-5 v3 probes complete ($(date +%H:%M:%S))"
