@@ -178,6 +178,7 @@ def get_config(config: str = "config_track.yml",
                          ("exact", "grouped"), "network/fps_mode"),
         norm=_choice(net_raw.get("norm", "bn"), ("bn", "gn"),
                      "network/norm"),
+        basin_head=bool(net_raw.get("basin_head", False)),
     )
 
     pp = raw.get("pose_perturb", {})
@@ -222,6 +223,10 @@ def get_config(config: str = "config_track.yml",
         motion_beta=float(tc.get("motion_beta", 0.5)),
         init_search=int(tc.get("init_search", 0)),
         init_search_steps=int(tc.get("init_search_steps", 2)),
+        init_search_tau=float(tc.get("init_search_tau", 10.0)),
+        init_search_scorer=_choice(tc.get("init_search_scorer", "mode"),
+                                   ("mode", "basin"),
+                                   "track_cfg/init_search_scorer"),
     )
 
     optim = OptimCfg(

@@ -93,6 +93,16 @@ class NetworkCfg:
     # (GroupNorm: no train/eval statistics gap, batch-size independent —
     # see PointNet2Msg.norm for the measured BN eval-mode pathology)
     norm: str = "bn"
+    # basin-confidence head (deviation; no reference counterpart): a small
+    # pooled MLP on stop_gradient(backbone features) trained to score how
+    # far the canonicalization pose sits from the object's true pose
+    # (scripts/train_basin_head.py).  Exists because every UNSUPERVISED
+    # per-candidate scorer for the frame-0 orientation search measured
+    # flat in the offset (EVIDENCE.md round 5 scorer diagnosis) — this
+    # head is supervised on exactly that offset.  stop_gradient makes it
+    # provably inert for the main task: adding/training it cannot move
+    # seg/NPCS outputs.
+    basin_head: bool = False
 
 
 @dataclass(frozen=True)
@@ -211,6 +221,13 @@ class TrackCfg:
     # does.  <= 0 disables clustering (pure residual argmin, the v1/v2
     # scorer, measured WORSE than no search).
     init_search_tau: float = 10.0
+    # candidate selection signal: "mode" = the tau-clustering above
+    # (tau <= 0 degrades it to pure residual); "basin" = the supervised
+    # basin-confidence head (requires network/basin_head and a checkpoint
+    # fine-tuned by scripts/train_basin_head.py) — candidates are scored
+    # by the head's logit on their PRE-descent canonicalization and the
+    # best candidate's descended pose seeds the scan
+    init_search_scorer: str = "mode"
     motion_model: str = "none"
     # fraction of the estimated per-frame delta applied at prediction time.
     # The steady-state rotation lag under constant motion m and correction

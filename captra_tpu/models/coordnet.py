@@ -48,7 +48,21 @@ class CoordNet(nn.Module):
                         bn_momentum=self.bn_momentum, dtype=dtype,
                         name="nocs_head")(feat, train)
         nocs = jax.nn.sigmoid(nocs.astype(jnp.float32)) - 0.5
-        return {"seg": seg, "nocs": nocs}
+        out = {"seg": seg, "nocs": nocs}
+        if net.basin_head:
+            # Basin-confidence head (schema: network/basin_head).  Pooled
+            # stop_gradient features -> 2-layer MLP -> one logit per cloud,
+            # monotone in "how canonical does this canonicalized cloud
+            # look" (trained by scripts/train_basin_head.py against the
+            # known canonicalization offset).  stop_gradient keeps the
+            # head strictly read-only w.r.t. the main task: seg/NPCS and
+            # their gradients are bit-identical with the head on or off.
+            pooled = jax.lax.stop_gradient(feat).astype(jnp.float32)
+            g = jnp.concatenate([jnp.max(pooled, axis=1),
+                                 jnp.mean(pooled, axis=1)], axis=-1)
+            h = nn.relu(nn.Dense(128, name="basin_fc1")(g))
+            out["basin"] = nn.Dense(1, name="basin_fc2")(h)[..., 0]
+        return out
 
 
 def canonicalize(points: jnp.ndarray, points_mean: jnp.ndarray,

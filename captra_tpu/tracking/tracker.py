@@ -170,6 +170,7 @@ def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
 
     obj = cfg.obj
     K = int(cfg.track.init_search)
+    use_basin = str(cfg.track.init_search_scorer) == "basin"
     root = tree_root(obj.tree)
     B, N, _ = points.shape
     P = obj.num_parts
@@ -215,11 +216,21 @@ def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
         cam = ctr[:, None] + mean[:, None, None]          # [M, 1, N, 3]
 
         score = None
-        for _ in range(steps):
+        basin0 = None
+        for si in range(steps):
             root_pose = Pose(rotation=pose.rotation[:, root],
                              translation=pose.translation[:, root],
                              scale=pose.scale[:, root])
             out = coord_fn(canonicalize(ctr, mean, root_pose))
+            if si == 0 and use_basin:
+                if "basin" not in out:
+                    raise ValueError(
+                        "track_cfg/init_search_scorer=basin needs a "
+                        "CoordNet with network/basin_head=True (fine-tune "
+                        "one with scripts/train_basin_head.py)")
+                # score candidates on their PRE-descent canonicalization —
+                # the distribution the head was trained on
+                basin0 = out["basin"].astype(jnp.float32)
             labels = jnp.argmax(out["seg"], axis=-1)      # [M, N]
             pred_npcs = jnp.moveaxis(
                 out["nocs"].reshape(M, N, P, 3), 2, 1)    # [M, P, N, 3]
@@ -246,6 +257,11 @@ def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
             score = jnp.sum(resid * w, axis=(-1, -2)) / jnp.maximum(tot, 1.)
             score = jnp.where(tot > 3, score, jnp.inf)
 
+        if use_basin:
+            # supervised scorer: higher logit = more in-basin; keep the
+            # lower-is-better convention of the selection code below
+            score = -basin0
+
         return (jax.tree.map(lambda x: x.reshape((KC, B) + x.shape[1:]),
                              pose), score.reshape(KC, B))
 
@@ -255,7 +271,9 @@ def search_init_orientation(coord_fn: Callable, points: jnp.ndarray,
     poses, scores = jax.lax.map(chunk_body, chunked)      # [G, KC, B, ...]
     scores = scores.reshape(Kp, B).T                      # [B, Kp]
     tau = float(cfg.track.init_search_tau)
-    if tau > 0.0:
+    if use_basin:
+        best = jnp.argmin(scores, axis=1)                 # [B] max logit
+    elif tau > 0.0:
         # v3 mode-clustering selection (the scorer that actually carries
         # orientation signal — see the schema comment / EVIDENCE round 5):
         # in-basin candidates descend onto GT and agree pairwise; copies

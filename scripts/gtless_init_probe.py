@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--init_search_tau", type=float, default=10.0,
                     help="mode-clustering radius in degrees (<=0 = the "
                          "rejected v1/v2 pure-residual selection)")
+    ap.add_argument("--init_search_scorer", default="mode",
+                    choices=["mode", "basin"],
+                    help="basin = the supervised basin-confidence head "
+                         "(--coord must be a checkpoint fine-tuned by "
+                         "scripts/train_basin_head.py)")
     ap.add_argument("--quality_profile", default="reference",
                     choices=["reference", "best"])
     ap.add_argument("--out", default=None, help="optional JSON report path")
@@ -118,6 +123,8 @@ def main():
         "track_cfg/init_search": args.init_search,
         "track_cfg/init_search_steps": args.init_search_steps,
         "track_cfg/init_search_tau": args.init_search_tau,
+        "track_cfg/init_search_scorer": args.init_search_scorer,
+        "network/basin_head": args.init_search_scorer == "basin",
         "track_cfg/quality_profile": args.quality_profile})
     coord, rotn = CoordNet(cfg), RotNet(cfg)
 

@@ -24,8 +24,20 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # config made a later test's huge compile segfault inside the zstd write.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Round-5 full-suite SIGSEGV, second autopsy (EVIDENCE.md): the executable
+# pin below did NOT stop the crash — the libgcc unwinder still read an
+# unmapped JIT EH-frame page mid-compile.  XLA CPU's parallel codegen
+# (default split count 32) compiles every program as ~32 separate ORC
+# dylibs on pool threads, each __register_frame/__deregister_frame-ing
+# per-part code pages DURING compilation — churn a Python-level pin of the
+# *final* executable can never reach, racing libgcc's lock-free FDE btree
+# (GCC 12) against unwinds.  Serialize codegen: one part per program, no
+# concurrent register/unmap, ~32x fewer registered objects.  On this
+# 1-CPU host parallel codegen bought nothing anyway.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
