@@ -5,6 +5,36 @@ Note: the axon TPU plugin pins JAX_PLATFORMS in the environment, so the env
 var alone does not stick — `jax.config.update` after import does.
 """
 import os
+import subprocess
+import sys
+
+# ---------------------------------------------------------------------------
+# Full-suite SIGSEGV, round-5 third fix (see native/ehframe_shim.c for the
+# complete mechanism): LLVM-ORC JIT EH-frame registrations leak into libgcc's
+# global object list faster than they are deregistered, and any later C++
+# throw's FDE classification reads unmapped JIT pages.  In-process
+# mitigations (stack size, executable pinning, serial codegen) all failed —
+# the leaky registrations happen inside compilation.  Interpose
+# __register_frame/__deregister_frame as no-ops via LD_PRELOAD; that needs
+# the dynamic loader, so re-exec this process ONCE with the shim preloaded
+# (sys.orig_argv reproduces the exact invocation).
+_SHIM_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "ehframe_shim.c")
+_SHIM = os.path.join(os.path.dirname(_SHIM_SRC), "_build", "ehframe_shim.so")
+if os.environ.get("CAPTRA_EH_SHIM") != "1" and os.path.exists(_SHIM_SRC):
+    if not os.path.exists(_SHIM) or (os.path.getmtime(_SHIM)
+                                     < os.path.getmtime(_SHIM_SRC)):
+        os.makedirs(os.path.dirname(_SHIM), exist_ok=True)
+        try:
+            subprocess.run(["gcc", "-shared", "-fPIC", "-O2", "-o", _SHIM,
+                            _SHIM_SRC], check=True)
+        except (OSError, subprocess.CalledProcessError):
+            _SHIM = None  # no compiler: run unshimmed rather than not at all
+    if _SHIM and os.path.exists(_SHIM):
+        os.environ["CAPTRA_EH_SHIM"] = "1"
+        prev = os.environ.get("LD_PRELOAD", "")
+        os.environ["LD_PRELOAD"] = (_SHIM + (" " + prev if prev else ""))
+        os.execv(sys.executable, sys.orig_argv)
 
 # The round-4 full-suite SIGSEGV (with the persistent compile cache already
 # disabled) died inside backend_compile_and_load on a large train-step
