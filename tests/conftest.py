@@ -18,23 +18,43 @@ import sys
 # __register_frame/__deregister_frame as no-ops via LD_PRELOAD; that needs
 # the dynamic loader, so re-exec this process ONCE with the shim preloaded
 # (sys.orig_argv reproduces the exact invocation).
+#
+# The re-exec must NOT happen at conftest import time: initial conftests are
+# loaded inside the capture plugin's pytest_load_initial_conftests wrapper,
+# i.e. while global fd-capture is ACTIVE — fd 1/2 point at pytest's capture
+# tmpfile, the exec'd child inherits them, and the entire run's output is
+# silently discarded (observed: a full-suite run whose only trace was its
+# exit code).  pytest_configure runs after that wrapper completes, with the
+# real fds restored, so the child inherits the caller's stdout/stderr.
 _SHIM_SRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native", "ehframe_shim.c")
 _SHIM = os.path.join(os.path.dirname(_SHIM_SRC), "_build", "ehframe_shim.so")
-if os.environ.get("CAPTRA_EH_SHIM") != "1" and os.path.exists(_SHIM_SRC):
-    if not os.path.exists(_SHIM) or (os.path.getmtime(_SHIM)
-                                     < os.path.getmtime(_SHIM_SRC)):
-        os.makedirs(os.path.dirname(_SHIM), exist_ok=True)
+
+
+def _reexec_with_eh_shim():
+    shim = _SHIM
+    if os.environ.get("CAPTRA_EH_SHIM") == "1" or not os.path.exists(
+            _SHIM_SRC):
+        return
+    if not os.path.exists(shim) or (os.path.getmtime(shim)
+                                    < os.path.getmtime(_SHIM_SRC)):
+        os.makedirs(os.path.dirname(shim), exist_ok=True)
         try:
-            subprocess.run(["gcc", "-shared", "-fPIC", "-O2", "-o", _SHIM,
+            subprocess.run(["gcc", "-shared", "-fPIC", "-O2", "-o", shim,
                             _SHIM_SRC], check=True)
         except (OSError, subprocess.CalledProcessError):
-            _SHIM = None  # no compiler: run unshimmed rather than not at all
-    if _SHIM and os.path.exists(_SHIM):
+            shim = None  # no compiler: run unshimmed rather than not at all
+    if shim and os.path.exists(shim):
         os.environ["CAPTRA_EH_SHIM"] = "1"
         prev = os.environ.get("LD_PRELOAD", "")
-        os.environ["LD_PRELOAD"] = (_SHIM + (" " + prev if prev else ""))
+        os.environ["LD_PRELOAD"] = (shim + (" " + prev if prev else ""))
+        sys.stdout.flush()
+        sys.stderr.flush()
         os.execv(sys.executable, sys.orig_argv)
+
+
+def pytest_configure(config):
+    _reexec_with_eh_shim()
 
 # The round-4 full-suite SIGSEGV (with the persistent compile cache already
 # disabled) died inside backend_compile_and_load on a large train-step
