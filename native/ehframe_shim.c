@@ -1,4 +1,13 @@
-/* No-op __register_frame/__deregister_frame interposer (test-suite shim).
+/* No-op __register_frame/__deregister_frame interposer.
+ *
+ * STATUS: retained as an INVESTIGATION ARTIFACT only — no longer installed
+ * anywhere.  This was mitigation #4 for the full-suite crash; it changed
+ * the crash's shape (SIGSEGV in the FDE walk -> SIGABRT/wild-pointer fault
+ * in CPython's allocator) but not its existence, which re-attributed the
+ * root cause to heap corruption inside jaxlib's CPU ORC-JIT path rather
+ * than libgcc bookkeeping alone.  The shipped disposition is per-process
+ * compile-volume bounding via pytest-xdist (see tests/conftest.py and
+ * EVIDENCE.md "full-suite segfault").
  *
  * Why this exists (round-5 full-suite SIGSEGV, third autopsy — see
  * EVIDENCE.md "full-suite segfault"): jaxlib's CPU backend JITs code via

@@ -5,56 +5,26 @@ Note: the axon TPU plugin pins JAX_PLATFORMS in the environment, so the env
 var alone does not stick — `jax.config.update` after import does.
 """
 import os
-import subprocess
-import sys
 
 # ---------------------------------------------------------------------------
-# Full-suite SIGSEGV, round-5 third fix (see native/ehframe_shim.c for the
-# complete mechanism): LLVM-ORC JIT EH-frame registrations leak into libgcc's
-# global object list faster than they are deregistered, and any later C++
-# throw's FDE classification reads unmapped JIT pages.  In-process
-# mitigations (stack size, executable pinning, serial codegen) all failed —
-# the leaky registrations happen inside compilation.  Interpose
-# __register_frame/__deregister_frame as no-ops via LD_PRELOAD; that needs
-# the dynamic loader, so re-exec this process ONCE with the shim preloaded
-# (sys.orig_argv reproduces the exact invocation).
-#
-# The re-exec must NOT happen at conftest import time: initial conftests are
-# loaded inside the capture plugin's pytest_load_initial_conftests wrapper,
-# i.e. while global fd-capture is ACTIVE — fd 1/2 point at pytest's capture
-# tmpfile, the exec'd child inherits them, and the entire run's output is
-# silently discarded (observed: a full-suite run whose only trace was its
-# exit code).  pytest_configure runs after that wrapper completes, with the
-# real fds restored, so the child inherits the caller's stdout/stderr.
-_SHIM_SRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native", "ehframe_shim.c")
-_SHIM = os.path.join(os.path.dirname(_SHIM_SRC), "_build", "ehframe_shim.so")
-
-
-def _reexec_with_eh_shim():
-    shim = _SHIM
-    if os.environ.get("CAPTRA_EH_SHIM") == "1" or not os.path.exists(
-            _SHIM_SRC):
-        return
-    if not os.path.exists(shim) or (os.path.getmtime(shim)
-                                    < os.path.getmtime(_SHIM_SRC)):
-        os.makedirs(os.path.dirname(shim), exist_ok=True)
-        try:
-            subprocess.run(["gcc", "-shared", "-fPIC", "-O2", "-o", shim,
-                            _SHIM_SRC], check=True)
-        except (OSError, subprocess.CalledProcessError):
-            shim = None  # no compiler: run unshimmed rather than not at all
-    if shim and os.path.exists(shim):
-        os.environ["CAPTRA_EH_SHIM"] = "1"
-        prev = os.environ.get("LD_PRELOAD", "")
-        os.environ["LD_PRELOAD"] = (shim + (" " + prev if prev else ""))
-        sys.stdout.flush()
-        sys.stderr.flush()
-        os.execv(sys.executable, sys.orig_argv)
-
-
-def pytest_configure(config):
-    _reexec_with_eh_shim()
+# Full-suite crash containment (round-5 final disposition).  A single pytest
+# process accumulating the whole suite's XLA-CPU compile volume (hundreds of
+# ORC-JIT compile cycles) eventually corrupts the process heap: four
+# independent core-dump autopsies (EVIDENCE.md "full-suite segfault") show
+# late-suite faults with no stable site — twice inside libgcc's FDE search
+# walking a freed JIT EH-frame object, once inside CPython's obmalloc/GC on
+# a wild pointer (0x3000000000000), preceded by a cascade of spurious test
+# failures that all pass standalone.  Four in-process mitigations (512 MiB
+# stacks, pinning final executables, serializing parallel codegen, no-op'ing
+# __register_frame via an LD_PRELOAD shim — kept as an investigation
+# artifact in native/ehframe_shim.c) each changed the crash's shape but not
+# its existence; the corruption happens inside jaxlib 0.9.0's CPU JIT path,
+# unreachable from Python.  Disposition: bound the per-process compile
+# volume instead — pyproject.toml runs the suite under pytest-xdist
+# (4 worker processes, --dist loadfile), so each interpreter stays at ~25%
+# of the suite's compile volume, a >2x margin below the earliest observed
+# corruption threshold (~55-60%).  Workers are full fresh interpreters, so
+# this keeps "one pytest invocation" semantics while isolating the fault.
 
 # The round-4 full-suite SIGSEGV (with the persistent compile cache already
 # disabled) died inside backend_compile_and_load on a large train-step
